@@ -1,0 +1,137 @@
+"""Sampling, warping, resizing — the cudawarping-class primitives.
+
+Reference capability covered: cv::cuda::{resize, warpAffine, warpPerspective,
+remap, pyrDown/pyrUp} (cudawarping module) and the bilinear samplers embedded
+in every tracker/flow kernel.
+
+TPU-first: gather-based bilinear sampling over flat indices; all shapes
+static; batched via leading dims.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather2d(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """img (H, W) or (H, W, C); integer index arrays of identical shape S ->
+    values (S) or (S, C). Indices are clipped to the image."""
+    H, W = img.shape[0], img.shape[1]
+    yi = jnp.clip(yi, 0, H - 1)
+    xi = jnp.clip(xi, 0, W - 1)
+    flat = img.reshape((H * W,) + img.shape[2:])
+    return jnp.take(flat, yi * W + xi, axis=0)
+
+
+def sample_nearest(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    return _gather2d(img, jnp.round(y).astype(jnp.int32), jnp.round(x).astype(jnp.int32))
+
+
+def sample_bilinear(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img (H, W[, C]) at float coords y, x (any shape).
+
+    Border: clamp (BORDER_REPLICATE semantics).
+    """
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy = (y - y0)[..., None] if img.ndim == 3 else (y - y0)
+    wx = (x - x0)[..., None] if img.ndim == 3 else (x - x0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    v00 = _gather2d(img, y0i, x0i)
+    v01 = _gather2d(img, y0i, x0i + 1)
+    v10 = _gather2d(img, y0i + 1, x0i)
+    v11 = _gather2d(img, y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def sample_bilinear_valid(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
+    """Bilinear sample + in-bounds mask (True where the full 2x2 footprint is
+    inside the image)."""
+    H, W = img.shape[0], img.shape[1]
+    valid = (y >= 0) & (y <= H - 1) & (x >= 0) & (x <= W - 1)
+    return sample_bilinear(img, y, x), valid
+
+
+def grid_coords(H: int, W: int, dtype=jnp.float32):
+    """Pixel-center coordinate grids (y, x), each (H, W)."""
+    y = jax.lax.broadcasted_iota(dtype, (H, W), 0)
+    x = jax.lax.broadcasted_iota(dtype, (H, W), 1)
+    return y, x
+
+
+def resize(img: jnp.ndarray, out_hw, method: str = "linear") -> jnp.ndarray:
+    """Resize (H, W[, C]) to out_hw. 'linear' | 'nearest' | 'area'."""
+    Ho, Wo = out_hw
+    H, W = img.shape[0], img.shape[1]
+    if method == "area" and H % Ho == 0 and W % Wo == 0:
+        fy, fx = H // Ho, W // Wo
+        v = img.reshape((Ho, fy, Wo, fx) + img.shape[2:])
+        return v.mean(axis=(1, 3))
+    y, x = grid_coords(Ho, Wo)
+    sy, sx = H / Ho, W / Wo
+    ys = (y + 0.5) * sy - 0.5
+    xs = (x + 0.5) * sx - 0.5
+    if method == "nearest":
+        return sample_nearest(img, ys, xs)
+    return sample_bilinear(img, ys, xs)
+
+
+def warp_affine(img: jnp.ndarray, M: jnp.ndarray, out_hw=None) -> jnp.ndarray:
+    """Inverse-warp with a 2x3 affine matrix mapping OUTPUT -> INPUT coords
+    (i.e. `M` plays the role of cv::warpAffine's WARP_INVERSE_MAP matrix)."""
+    if out_hw is None:
+        out_hw = img.shape[:2]
+    y, x = grid_coords(*out_hw)
+    xs = M[0, 0] * x + M[0, 1] * y + M[0, 2]
+    ys = M[1, 0] * x + M[1, 1] * y + M[1, 2]
+    return sample_bilinear(img, ys, xs)
+
+
+def warp_perspective(img: jnp.ndarray, Hm: jnp.ndarray, out_hw=None) -> jnp.ndarray:
+    """Inverse-warp with a 3x3 homography mapping OUTPUT -> INPUT coords."""
+    if out_hw is None:
+        out_hw = img.shape[:2]
+    y, x = grid_coords(*out_hw)
+    d = Hm[2, 0] * x + Hm[2, 1] * y + Hm[2, 2]
+    d = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    xs = (Hm[0, 0] * x + Hm[0, 1] * y + Hm[0, 2]) / d
+    ys = (Hm[1, 0] * x + Hm[1, 1] * y + Hm[1, 2]) / d
+    return sample_bilinear(img, ys, xs)
+
+
+def remap(img: jnp.ndarray, map_y: jnp.ndarray, map_x: jnp.ndarray) -> jnp.ndarray:
+    """cv::remap equivalent: per-pixel source coordinates."""
+    return sample_bilinear(img, map_y, map_x)
+
+
+def extract_patches(img: jnp.ndarray, centers_yx: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Extract N bilinear patches (N, size, size) around float centers (N, 2).
+
+    The per-keypoint patch gather used by descriptor kernels (the role of the
+    rotated-patch resampling in surf.cpp:679 and beblid.cpp box sampling).
+    """
+    off = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    dy = off[:, None]
+    dx = off[None, :]
+    ys = centers_yx[:, 0][:, None, None] + dy[None]
+    xs = centers_yx[:, 1][:, None, None] + dx[None]
+    return sample_bilinear(img, ys, xs)
+
+
+def extract_rotated_patches(
+    img: jnp.ndarray, centers_yx: jnp.ndarray, angles: jnp.ndarray, scales: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """Rotated+scaled patch extraction for oriented descriptors (the role of
+    SURF's rotated 20s-patch resample, surf.cpp:679-…)."""
+    off = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    gy = off[:, None] * jnp.ones((1, size))
+    gx = jnp.ones((size, 1)) * off[None, :]
+    c = jnp.cos(angles)[:, None, None] * scales[:, None, None]
+    s = jnp.sin(angles)[:, None, None] * scales[:, None, None]
+    xs = centers_yx[:, 1][:, None, None] + c * gx[None] - s * gy[None]
+    ys = centers_yx[:, 0][:, None, None] + s * gx[None] + c * gy[None]
+    return sample_bilinear(img, ys, xs)

@@ -1,0 +1,30 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+Mirrors the reference's backend-parity test strategy (SURVEY.md §4 pattern 4):
+every kernel runs on the CPU backend here; multi-chip sharding is validated on
+the virtual 8-device mesh (the driver separately dry-runs the multichip path
+and benches on real TPU).
+
+Note: this environment pre-imports jax and registers the TPU ('axon') backend
+via sitecustomize, so env-var-only selection is too late — we force the
+platform through jax.config, which still works post-import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
