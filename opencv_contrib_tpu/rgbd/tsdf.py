@@ -1,0 +1,251 @@
+"""Dense TSDF volume: integration, raycast, point extraction.
+
+Parity: rgbd/src/tsdf.cpp — TSDFVolumeCPU::integrate (:115 ->
+integrateVolumeUnit, tsdf_functions.cpp:158), RaycastInvoker (:337),
+fetchPointsNormals. Volume semantics match: truncated signed distance in
+[-1, 1] (scaled by trunc_dist), weighted running average, weight capped.
+
+TPU-first redesign (SURVEY §7 "scatter-heavy TSDF"): integration is a pure
+GATHER — every voxel projects into the depth image and pulls its depth
+sample (the reference's CPU loop is the same direction; CUDA versions
+scatter). Raycast marches all rays in lockstep with a lax.scan over steps;
+trilinear volume sampling is an 8-corner gather.
+
+The volume pose is fixed at creation (volume-to-world), like
+VolumeParams::pose.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from opencv_contrib_tpu.core import se3
+
+
+class TSDFVolume(NamedTuple):
+    tsdf: jnp.ndarray  # (X, Y, Z) float32 in [-1, 1]
+    weight: jnp.ndarray  # (X, Y, Z) float32
+    origin: jnp.ndarray  # (3,) world coords of voxel (0,0,0) center
+    voxel_size: jnp.ndarray  # scalar
+    trunc_dist: jnp.ndarray  # scalar (meters)
+
+    @property
+    def dims(self):
+        return self.tsdf.shape
+
+
+def create(resolution=(128, 128, 128), size: float = 3.0, center=(0.0, 0.0, 0.0), trunc_dist: float | None = None) -> TSDFVolume:
+    """Volume of `size` meters per side centered at `center`
+    (defaultParams-analog: 3m cube, kinfu.cpp:55-87)."""
+    vs = size / resolution[0]
+    if trunc_dist is None:
+        trunc_dist = 5.0 * vs
+    origin = jnp.asarray(center, jnp.float32) - size / 2.0 + vs / 2.0
+    return TSDFVolume(
+        tsdf=jnp.zeros(resolution, jnp.float32),
+        weight=jnp.zeros(resolution, jnp.float32),
+        origin=origin,
+        voxel_size=jnp.asarray(vs, jnp.float32),
+        trunc_dist=jnp.asarray(trunc_dist, jnp.float32),
+    )
+
+
+@jax.jit
+def integrate(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    intr: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    max_weight: float = 64.0,
+    depth_max: float = 4.0,
+) -> TSDFVolume:
+    """Fuse one depth frame taken at world->camera pose T_cw.
+
+    Gather formulation: voxel centers -> camera frame -> pixel -> depth
+    sample; sdf = measured_depth - voxel_z, truncated and averaged
+    (integrateVolumeUnit semantics, tsdf_functions.cpp:158).
+    """
+    X, Y, Z = vol.dims
+    H, W = depth.shape
+    gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 1)
+    gz = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 2)
+    pw = jnp.stack([gx, gy, gz], axis=-1) * vol.voxel_size + vol.origin  # world
+
+    R, t = se3.mat_to_rt(T_cw)
+    pc = jnp.einsum("ij,xyzj->xyzi", R, pw) + t
+    z = pc[..., 2]
+    u = pc[..., 0] / jnp.maximum(z, 1e-9) * intr[0] + intr[2]
+    v = pc[..., 1] / jnp.maximum(z, 1e-9) * intr[1] + intr[3]
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    inb = (z > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+
+    d = depth[jnp.clip(vi, 0, H - 1), jnp.clip(ui, 0, W - 1)]
+    valid = inb & (d > 0) & (d < depth_max)
+
+    sdf = d - z
+    within = valid & (sdf > -vol.trunc_dist)
+    tsdf_new = jnp.clip(sdf / vol.trunc_dist, -1.0, 1.0)
+
+    w_old = vol.weight
+    w_add = within.astype(jnp.float32)
+    w_new = jnp.minimum(w_old + w_add, max_weight)
+    fused = jnp.where(
+        within,
+        (vol.tsdf * w_old + tsdf_new * w_add) / jnp.maximum(w_old + w_add, 1.0),
+        vol.tsdf,
+    )
+    return vol._replace(tsdf=fused, weight=w_new)
+
+
+def sample_trilinear(vol: TSDFVolume, pts_world: jnp.ndarray):
+    """Trilinear TSDF sample at world points (..., 3). Returns (value, valid)
+    where valid requires all 8 corners to carry weight."""
+    g = (pts_world - vol.origin) / vol.voxel_size
+    g0 = jnp.floor(g)
+    f = g - g0
+    gi = g0.astype(jnp.int32)
+    X, Y, Z = vol.dims
+
+    def corner(dx, dy, dz):
+        ix = jnp.clip(gi[..., 0] + dx, 0, X - 1)
+        iy = jnp.clip(gi[..., 1] + dy, 0, Y - 1)
+        iz = jnp.clip(gi[..., 2] + dz, 0, Z - 1)
+        val = vol.tsdf[ix, iy, iz]
+        wgt = vol.weight[ix, iy, iz]
+        return val, wgt
+
+    acc = 0.0
+    wmin = jnp.inf
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                val, wgt = corner(dx, dy, dz)
+                wx = f[..., 0] if dx else 1.0 - f[..., 0]
+                wy = f[..., 1] if dy else 1.0 - f[..., 1]
+                wz = f[..., 2] if dz else 1.0 - f[..., 2]
+                acc = acc + val * wx * wy * wz
+                wmin = jnp.minimum(wmin, wgt)
+    inb = jnp.all((g >= 0) & (g <= jnp.array([X - 1, Y - 1, Z - 1], jnp.float32)), axis=-1)
+    return acc, (wmin > 0) & inb
+
+
+def sample_gradient(vol: TSDFVolume, pts_world: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference TSDF gradient (surface normal direction)."""
+    h = vol.voxel_size
+    ex = jnp.array([1.0, 0.0, 0.0]) * h
+    ey = jnp.array([0.0, 1.0, 0.0]) * h
+    ez = jnp.array([0.0, 0.0, 1.0]) * h
+    gx = sample_trilinear(vol, pts_world + ex)[0] - sample_trilinear(vol, pts_world - ex)[0]
+    gy = sample_trilinear(vol, pts_world + ey)[0] - sample_trilinear(vol, pts_world - ey)[0]
+    gz = sample_trilinear(vol, pts_world + ez)[0] - sample_trilinear(vol, pts_world - ez)[0]
+    g = jnp.stack([gx, gy, gz], axis=-1)
+    return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+
+
+@partial(jax.jit, static_argnames=("shape", "n_steps"))
+def raycast(
+    vol: TSDFVolume,
+    intr: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    shape=(120, 160),
+    n_steps: int = 192,
+    depth_min: float = 0.1,
+    depth_max: float = 4.0,
+):
+    """March all camera rays through the volume; detect the +/- zero
+    crossing; linear-interpolate the hit; normals from the TSDF gradient
+    (RaycastInvoker, tsdf.cpp:337). Returns (points (H,W,3) camera frame,
+    normals (H,W,3) camera frame, valid (H,W))."""
+    H, W = shape
+    T_wc = se3.inverse(T_cw)
+    R_wc, t_wc = se3.mat_to_rt(T_wc)
+
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    dirs_cam = jnp.stack(
+        [(u - intr[2]) / intr[0], (v - intr[3]) / intr[1], jnp.ones((H, W))], axis=-1
+    )
+    dirs = jnp.einsum("ij,hwj->hwi", R_wc, dirs_cam)  # world
+    origin = t_wc
+
+    # step in z-depth units scaled by truncation (the reference's
+    # truncation-scaled step): coarse until near surface
+    dz = (depth_max - depth_min) / n_steps
+
+    def step(carry, i):
+        zhit, prev_f, prev_z, done = carry
+        zc = depth_min + (i + 0.5) * dz
+        pt = origin[None, None] + dirs * zc
+        f, ok = sample_trilinear(vol, pt)
+        crossing = ok & (prev_f > 0) & (f < 0) & ~done
+        # linear interpolation of the zero crossing
+        denom = prev_f - f
+        alpha = jnp.where(jnp.abs(denom) > 1e-9, prev_f / jnp.maximum(jnp.abs(denom), 1e-9) * jnp.sign(denom), 0.0)
+        zint = prev_z + alpha * (zc - prev_z)
+        zhit = jnp.where(crossing, zint, zhit)
+        done = done | crossing
+        prev_f = jnp.where(ok, f, prev_f)
+        prev_z = jnp.where(ok, zc, prev_z)
+        return (zhit, prev_f, prev_z, done), None
+
+    init = (
+        jnp.zeros((H, W)),
+        jnp.full((H, W), 1.0),
+        jnp.full((H, W), depth_min),
+        jnp.zeros((H, W), bool),
+    )
+    (zhit, _, _, valid), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+
+    pts_world = origin[None, None] + dirs * zhit[..., None]
+    normals_world = sample_gradient(vol, pts_world)
+    # to camera frame
+    R_cw, t_cw = se3.mat_to_rt(T_cw)
+    pts_cam = jnp.einsum("ij,hwj->hwi", R_cw, pts_world) + t_cw
+    normals_cam = jnp.einsum("ij,hwj->hwi", R_cw, normals_world)
+    valid = valid & (zhit > 0)
+    return (
+        pts_cam * valid[..., None],
+        jnp.where(valid[..., None], normals_cam, 0.0),
+        valid,
+    )
+
+
+def extract_points(vol: TSDFVolume, max_points: int = 65536):
+    """Zero-crossing voxel extraction (fetchPointsNormals-analog): voxels
+    whose tsdf changes sign against +x/+y/+z neighbors, interpolated.
+    Returns (points (N,3) world, normals (N,3), valid (N,)) with static N."""
+    t = vol.tsdf
+    w = vol.weight
+    X, Y, Z = vol.dims
+
+    pts = []
+    vals = []
+    for axis in range(3):
+        tn = jnp.roll(t, -1, axis)
+        wn = jnp.roll(w, -1, axis)
+        cross = (w > 0) & (wn > 0) & (jnp.sign(t) != jnp.sign(tn)) & (jnp.abs(t - tn) > 1e-9)
+        alpha = jnp.where(cross, t / jnp.where(jnp.abs(t - tn) > 1e-9, t - tn, 1.0), 0.0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 1)
+        gz = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 2)
+        base = jnp.stack([gx, gy, gz], axis=-1)
+        offset = jnp.zeros(3).at[axis].set(1.0)
+        p = base + alpha[..., None] * offset
+        pts.append(jnp.where(cross[..., None], p, -1.0).reshape(-1, 3))
+        vals.append((cross.reshape(-1), jnp.abs(t.reshape(-1))))
+
+    allp = jnp.concatenate(pts)
+    allv = jnp.concatenate([v[0] for v in vals])
+    score = jnp.where(allv, 1.0, -jnp.inf)
+    _, idx = jax.lax.top_k(score, max_points)
+    sel = allp[idx]
+    valid = allv[idx]
+    world = sel * vol.voxel_size + vol.origin
+    normals = sample_gradient(vol, world)
+    return world * valid[:, None], normals * valid[:, None], valid
