@@ -1,1 +1,5 @@
-"""utils subpackage (see package docstring)."""
+"""Utilities: synthetic fixtures, datasets, metrics, io, checkpointing."""
+
+from opencv_contrib_tpu.utils import synthetic, sdf_scene, metrics, datasets, io
+
+__all__ = ["synthetic", "sdf_scene", "metrics", "datasets", "io"]

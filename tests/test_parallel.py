@@ -1,0 +1,89 @@
+"""Distributed-path tests on the 8-device virtual CPU mesh (SURVEY §4
+pattern 5 — the multi-host-simulated strategy): sharded programs must agree
+with their single-device references."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from opencv_contrib_tpu.ba import bundle
+from opencv_contrib_tpu.parallel import mesh as mesh_mod
+from opencv_contrib_tpu.parallel import dist_ba, ring_match
+from opencv_contrib_tpu.utils.synthetic import generate_scene
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return mesh_mod.make_mesh(n_dp=2, n_sp=4)
+
+
+def _problem(noise=0.02):
+    scene = generate_scene(n_views=4, n_points=128, seed=2)
+    rng = np.random.default_rng(0)
+    pts = scene.points3d + rng.normal(scale=noise, size=scene.points3d.shape).astype(np.float32)
+    return bundle.make_problem_from_scene(
+        scene.Rs, scene.ts, pts, scene.intr, scene.points2d, scene.visible
+    )
+
+
+class TestMesh:
+    def test_make_mesh_shape(self, mesh8):
+        assert mesh8.shape == {"dp": 2, "sp": 4}
+
+    def test_shard_placement(self, mesh8):
+        x = jnp.zeros((8, 16))
+        xs = mesh_mod.shard(mesh8, x, P("sp", None))
+        # sharded over sp (4 shards), replicated over dp -> lives on all 8
+        assert len(xs.sharding.device_set) == 8
+        assert xs.sharding.spec == P("sp", None)
+
+
+class TestDistBA:
+    def test_sharded_matches_single_device(self, mesh8):
+        p = _problem()
+        res_single = bundle.bundle_adjust(p, n_iters=8)
+        res_shard = dist_ba.bundle_adjust(p, mesh8, n_iters=8)
+        # same math, different partitioning: costs must agree tightly
+        np.testing.assert_allclose(
+            float(res_shard.final_cost), float(res_single.final_cost), rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_shard.cameras), np.asarray(res_single.cameras), atol=5e-4
+        )
+
+    def test_sharded_converges(self, mesh8):
+        p = _problem(noise=0.05)
+        res = dist_ba.bundle_adjust(p, mesh8, n_iters=15)
+        assert float(res.final_cost) < float(res.initial_cost) * 1e-2
+
+
+class TestRingMatch:
+    def test_ring_equals_reference(self, mesh8):
+        rng = np.random.default_rng(1)
+        N, K, D = 8, 32, 16  # 8 images over 4 sp shards -> blocks of 2
+        descs = rng.normal(size=(N, K, D)).astype(np.float32)
+        valids = rng.uniform(size=(N, K)) > 0.2
+        idx_r, dist_r, ok_r = ring_match.ring_all_pairs_match(
+            jnp.asarray(descs), jnp.asarray(valids), mesh8
+        )
+        idx_s, dist_s, ok_s = ring_match.all_pairs_match_reference(
+            jnp.asarray(descs), jnp.asarray(valids)
+        )
+        np.testing.assert_array_equal(np.asarray(ok_r), np.asarray(ok_s))
+        # where valid, the matched indices and distances agree
+        m = np.asarray(ok_s)
+        np.testing.assert_array_equal(np.asarray(idx_r)[m], np.asarray(idx_s)[m])
+        np.testing.assert_allclose(np.asarray(dist_r)[m], np.asarray(dist_s)[m], rtol=1e-4, atol=1e-4)
+
+    def test_self_matches_are_identity(self, mesh8):
+        rng = np.random.default_rng(2)
+        descs = rng.normal(size=(8, 16, 8)).astype(np.float32)
+        valids = np.ones((8, 16), bool)
+        idx, dist, ok = ring_match.ring_all_pairs_match(
+            jnp.asarray(descs), jnp.asarray(valids), mesh8, ratio=1.1
+        )
+        for i in range(8):
+            np.testing.assert_array_equal(np.asarray(idx)[i, i], np.arange(16))
