@@ -39,7 +39,11 @@ Module federation (mirrors the reference's module DAG, SURVEY.md §2):
 
 __version__ = "0.1.0"
 
-from opencv_contrib_tpu import core, ops, features, mvg, ba, sfm, rgbd, flow, parallel, utils
+from opencv_contrib_tpu import (
+    core, ops, features, mvg, ba, sfm, rgbd, flow, parallel, utils,
+    tracking, bgsegm, stereo, xphoto, img_hash, saliency,
+    intensity_transform, phase_unwrapping, reg,
+)
 
 __all__ = [
     "core",
@@ -52,5 +56,14 @@ __all__ = [
     "flow",
     "parallel",
     "utils",
+    "tracking",
+    "bgsegm",
+    "stereo",
+    "xphoto",
+    "img_hash",
+    "saliency",
+    "intensity_transform",
+    "phase_unwrapping",
+    "reg",
     "__version__",
 ]

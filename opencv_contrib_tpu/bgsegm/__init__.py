@@ -1,0 +1,20 @@
+"""Background subtraction (bgsegm-module parity).
+
+Reference anchors: bgsegm/include/opencv2/bgsegm.hpp —
+BackgroundSubtractorMOG (:62, gaussian mixtures), CNT (:250, pixel
+stability counters), GSOC/LSBP (sample consensus); plus a synthetic
+sequence generator (SyntheticSequenceGenerator) used by its tests.
+
+TPU-first: per-pixel model state lives in stacked arrays; one jitted
+`apply` step updates every pixel's mixture in parallel.
+"""
+
+from opencv_contrib_tpu.bgsegm.mog import MogState, mog_create, mog_apply
+from opencv_contrib_tpu.bgsegm.cnt import CntState, cnt_create, cnt_apply
+from opencv_contrib_tpu.bgsegm.synthetic import synthetic_sequence
+
+__all__ = [
+    "MogState", "mog_create", "mog_apply",
+    "CntState", "cnt_create", "cnt_apply",
+    "synthetic_sequence",
+]
