@@ -43,6 +43,7 @@ from opencv_contrib_tpu import (
     core, ops, features, mvg, ba, sfm, rgbd, flow, parallel, utils,
     tracking, bgsegm, stereo, xphoto, img_hash, saliency,
     intensity_transform, phase_unwrapping, reg,
+    quality, shape, structured_light, superres, videostab, fuzzy, ximgproc,
 )
 
 __all__ = [
@@ -65,5 +66,12 @@ __all__ = [
     "intensity_transform",
     "phase_unwrapping",
     "reg",
+    "quality",
+    "shape",
+    "structured_light",
+    "superres",
+    "videostab",
+    "fuzzy",
+    "ximgproc",
     "__version__",
 ]

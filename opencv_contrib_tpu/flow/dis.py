@@ -138,7 +138,11 @@ def compute(
             from opencv_contrib_tpu.ops.image import resize
 
             flow = resize(flow, p0[l].shape) * 2.0
-        flow = _level_patch_flow(p0[l], p1[l], flow, stride=stride, radius=radius, iters=iters)
+        Hl, Wl = p0[l].shape
+        # keep at least one patch center per axis on tiny coarse levels
+        stride_l = max(2, min(stride, min(Hl, Wl) // 2))
+        radius_l = min(radius, stride_l)
+        flow = _level_patch_flow(p0[l], p1[l], flow, stride=stride_l, radius=radius_l, iters=iters)
         if use_variational:
             flow = variational_refine(p0[l], p1[l], flow)
     return flow

@@ -1,0 +1,39 @@
+"""Extended image processing (ximgproc-module parity).
+
+Reference anchors (ximgproc/include/opencv2/ximgproc/):
+- edge_filter.hpp: GuidedFilter (:130 — in ops.filters), DTFilter (:66),
+  rolling guidance, anisotropic diffusion (anisodiff.cpp)
+- sparse_match_interpolator.hpp: EdgeAwareInterpolator (:77) — flow
+  densification (flow.dis's densification plays this role; a standalone
+  epic-style interpolator lives here)
+- slic.hpp: SuperpixelSLIC (:78)
+- fast_line_detector.hpp + structured_edge_detection.hpp: line/edge
+  detection (gradient-based line detector here)
+- thinning, niBlack threshold, FourierDescriptors, RidgeFilter
+"""
+
+from opencv_contrib_tpu.ximgproc.filters_x import (
+    anisotropic_diffusion,
+    rolling_guidance_filter,
+    dt_filter,
+    niblack_threshold,
+    ridge_filter,
+)
+from opencv_contrib_tpu.ximgproc.slic import slic
+from opencv_contrib_tpu.ximgproc.edges import structured_edges_lite, fast_hough_lines, thinning
+from opencv_contrib_tpu.ximgproc.interp import edge_aware_interpolate
+from opencv_contrib_tpu.ximgproc.fourier import fourier_descriptors
+
+__all__ = [
+    "anisotropic_diffusion",
+    "rolling_guidance_filter",
+    "dt_filter",
+    "niblack_threshold",
+    "ridge_filter",
+    "slic",
+    "structured_edges_lite",
+    "fast_hough_lines",
+    "thinning",
+    "edge_aware_interpolate",
+    "fourier_descriptors",
+]
