@@ -44,6 +44,8 @@ from opencv_contrib_tpu import (
     tracking, bgsegm, stereo, xphoto, img_hash, saliency,
     intensity_transform, phase_unwrapping, reg,
     quality, shape, structured_light, superres, videostab, fuzzy, ximgproc,
+    face, surface_matching, ccalib, mcc, plot, line_descriptor,
+    bioinspired, models,
 )
 
 __all__ = [
@@ -73,5 +75,13 @@ __all__ = [
     "videostab",
     "fuzzy",
     "ximgproc",
+    "face",
+    "surface_matching",
+    "ccalib",
+    "mcc",
+    "plot",
+    "line_descriptor",
+    "bioinspired",
+    "models",
     "__version__",
 ]

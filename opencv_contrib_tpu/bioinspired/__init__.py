@@ -1,0 +1,14 @@
+"""Bio-inspired retina model (bioinspired-module parity).
+
+Reference anchors: Retina (bioinspired/include/opencv2/bioinspired/
+retina.hpp:162 — parvocellular detail/color pathway + magnocellular motion
+pathway, photoreceptor local adaptation) and
+TransientAreasSegmentationModule (transientareassegmentationmodule.hpp:122).
+
+TPU-first: the retina's spatiotemporal filters are separable IIR/Gaussian
+stages on image state carried frame to frame — one jitted step.
+"""
+
+from opencv_contrib_tpu.bioinspired.retina import Retina, RetinaState
+
+__all__ = ["Retina", "RetinaState"]

@@ -1,0 +1,16 @@
+"""Face recognition (face-module parity).
+
+Reference anchors: face/src — EigenFaces (eigen_faces.cpp), FisherFaces
+(fisher_faces.cpp), LBPH (lbph_faces.cpp), all `: public FaceRecognizer`
+with train/predict/read/write (facerec.cpp:57-66); BIF features (bif.cpp).
+Facemark training (AAM/LBF/Kazemi) is a round-2 item.
+"""
+
+from opencv_contrib_tpu.face.recognizers import (
+    EigenFaces,
+    FisherFaces,
+    LBPH,
+    lbp_image,
+)
+
+__all__ = ["EigenFaces", "FisherFaces", "LBPH", "lbp_image"]

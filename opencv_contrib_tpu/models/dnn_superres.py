@@ -1,0 +1,139 @@
+"""Single-image super-resolution models (ESPCN / FSRCNN class) in flax.
+
+API parity with DnnSuperResImpl: set model + scale, `upsample(img)`;
+weights save/load via npz; `train_step` for fitting on (LR, HR) pairs.
+ESPCN: conv stack + pixel-shuffle (depth-to-space) upsampling — the
+MXU-friendly SR architecture (all convs, static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import optax
+
+
+class ESPCN(nn.Module):
+    """Shi et al. efficient sub-pixel CNN."""
+
+    scale: int = 2
+    features: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        # x (N, H, W, 1)
+        h = nn.Conv(self.features, (5, 5), padding="SAME")(x)
+        h = nn.tanh(h)
+        h = nn.Conv(self.features // 2, (3, 3), padding="SAME")(h)
+        h = nn.tanh(h)
+        h = nn.Conv(self.scale * self.scale, (3, 3), padding="SAME")(h)
+        # depth-to-space
+        N, H, W, C = h.shape
+        s = self.scale
+        h = h.reshape(N, H, W, s, s)
+        h = h.transpose(0, 1, 3, 2, 4)
+        h = h.reshape(N, H * s, W * s, 1)
+        return h
+
+
+class FSRCNN(nn.Module):
+    """Dong et al. fast SRCNN: feature extraction -> shrink -> map ->
+    expand -> transposed-conv upsample."""
+
+    scale: int = 2
+    d: int = 32
+    s: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.d, (5, 5), padding="SAME")(x)
+        h = nn.PReLU()(h)
+        h = nn.Conv(self.s, (1, 1))(h)
+        h = nn.PReLU()(h)
+        for _ in range(2):
+            h = nn.Conv(self.s, (3, 3), padding="SAME")(h)
+            h = nn.PReLU()(h)
+        h = nn.Conv(self.d, (1, 1))(h)
+        h = nn.PReLU()(h)
+        h = nn.ConvTranspose(1, (9, 9), strides=(self.scale, self.scale), padding="SAME")(h)
+        return h
+
+
+class DnnSuperRes:
+    """DnnSuperResImpl-contract wrapper."""
+
+    def __init__(self, algo: str = "espcn", scale: int = 2, seed: int = 0):
+        self.algo = algo
+        self.scale = scale
+        if algo == "espcn":
+            self.net = ESPCN(scale=scale)
+        elif algo == "fsrcnn":
+            self.net = FSRCNN(scale=scale)
+        else:
+            raise ValueError(f"unknown algo {algo} (espcn|fsrcnn)")
+        self.params = self.net.init(jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 1)))
+        self._tx = None
+        self._opt_state = None
+
+    # ---- inference ----
+
+    def upsample(self, img) -> jnp.ndarray:
+        """(H, W) in [0, 1] -> (scale*H, scale*W)."""
+        x = jnp.asarray(img, jnp.float32)[None, ..., None]
+        base = jax.image.resize(x, (1, x.shape[1] * self.scale, x.shape[2] * self.scale, 1), "bilinear")
+        out = self.net.apply(self.params, x) + base  # residual learning
+        return jnp.clip(out[0, ..., 0], 0.0, 1.0)
+
+    @staticmethod
+    def upsample_bicubic(img, scale: int) -> jnp.ndarray:
+        x = jnp.asarray(img, jnp.float32)
+        return jax.image.resize(x, (x.shape[0] * scale, x.shape[1] * scale), "cubic")
+
+    # ---- training ----
+
+    def init_training(self, lr: float = 1e-3):
+        self._tx = optax.adam(lr)
+        self._opt_state = self._tx.init(self.params)
+
+        @jax.jit
+        def step(params, opt_state, lr_batch, hr_batch):
+            def loss_fn(p):
+                base = jax.image.resize(lr_batch, hr_batch.shape, "bilinear")
+                pred = self.net.apply(p, lr_batch) + base
+                return jnp.mean((pred - hr_batch) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self._tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = step
+
+    def train_step(self, lr_batch, hr_batch) -> float:
+        """lr_batch (N, h, w, 1), hr_batch (N, h*scale, w*scale, 1)."""
+        self.params, self._opt_state, loss = self._step(self.params, self._opt_state, lr_batch, hr_batch)
+        return float(loss)
+
+    # ---- persistence (readModel/setModel contract) ----
+
+    def save_model(self, path: str):
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        arrays = {"/".join(str(k) for k in kp): np.asarray(v) for kp, v in flat}
+        arrays["__algo__"] = np.array(self.algo)
+        arrays["__scale__"] = np.array(self.scale)
+        np.savez(path, **arrays)
+
+    def read_model(self, path: str):
+        data = np.load(path, allow_pickle=False)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(self.params)
+        new_leaves = []
+        for kp, v in flat:
+            key = "/".join(str(k) for k in kp)
+            new_leaves.append(jnp.asarray(data[key]))
+        self.params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self.params), new_leaves
+        )
+        return self

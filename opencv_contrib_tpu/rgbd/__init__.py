@@ -10,6 +10,6 @@ the host keeps only the per-frame control loop (the reference's own
 Mat/UMat split, kinfu.cpp:197-229).
 """
 
-from opencv_contrib_tpu.rgbd import frame, icp, tsdf, kinfu, odometry, posegraph
+from opencv_contrib_tpu.rgbd import frame, icp, tsdf, hash_tsdf, kinfu, odometry, posegraph, submap
 
-__all__ = ["frame", "icp", "tsdf", "kinfu", "odometry", "posegraph"]
+__all__ = ["frame", "icp", "tsdf", "hash_tsdf", "kinfu", "odometry", "posegraph", "submap"]
