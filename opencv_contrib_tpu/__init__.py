@@ -45,7 +45,7 @@ from opencv_contrib_tpu import (
     intensity_transform, phase_unwrapping, reg,
     quality, shape, structured_light, superres, videostab, fuzzy, ximgproc,
     face, surface_matching, ccalib, mcc, plot, line_descriptor,
-    bioinspired, models,
+    bioinspired, models, signal, alphamat,
 )
 
 __all__ = [
@@ -83,5 +83,7 @@ __all__ = [
     "line_descriptor",
     "bioinspired",
     "models",
+    "signal",
+    "alphamat",
     "__version__",
 ]

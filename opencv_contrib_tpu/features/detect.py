@@ -29,51 +29,92 @@ from opencv_contrib_tpu.ops import filters
 from opencv_contrib_tpu.ops.image import _gather2d
 
 
-def _hessian_response(ii: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Fast-Hessian determinant map for one filter size on integral image ii.
+_II_PAD = 64  # supports filter sizes up to ~3*42
+
+
+def _padded_integral(img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-padded integral image for static-slice box sums."""
+    ii = integ.integral(img)
+    return jnp.pad(ii, _II_PAD, mode="edge")
+
+
+def _box_map(P: jnp.ndarray, H: int, W: int, a: int, b: int, c: int, d: int) -> jnp.ndarray:
+    """Dense box sums: for every pixel (y, x), sum over rows [y+a, y+b) and
+    cols [x+c, x+d) — four STATIC slices of the padded integral image.
+    Static slicing is the TPU-fast form: no gathers (random access), no
+    convs (kernel-size compile/runtime cost), just shifted adds at HBM
+    bandwidth."""
+    p = _II_PAD
+
+    def S(dy, dx):
+        return jax.lax.dynamic_slice(P, (p + dy, p + dx), (H, W))
+
+    return S(b, d) - S(a, d) - S(b, c) + S(a, c)
+
+
+def _hessian_response(P: jnp.ndarray, H: int, W: int, size: int) -> jnp.ndarray:
+    """Fast-Hessian determinant map for one filter size.
 
     Box-filter approximations of the Gaussian second derivatives, same
-    9x9-base layout as SURF (calcLayerDetAndTrace, surf.cpp:172): Dyy from
-    three stacked boxes, Dxx transposed, Dxy from four corner boxes.
-    Responses are computed densely at every pixel (the reference samples with
-    sampleStep; dense is free on TPU and improves NMS quality).
+    9x9-base layout as SURF (calcLayerDetAndTrace, surf.cpp:172), evaluated
+    densely at every pixel from the shared padded integral image via static
+    slices (see _box_map). `P` = _padded_integral(img).
     """
-    H = ii.shape[0] - 1
-    W = ii.shape[1] - 1
     s = size // 3  # lobe width
     norm = 1.0 / (size * size)
-    y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-
-    # Dyy: vertical second derivative — 3 boxes of (s x 2s-1) stacked in y
     w2 = 2 * s - 1
-    x0 = x - (w2 // 2)
-    y0 = y - (3 * s) // 2
-    a = integ.box_sum(ii, y0, x0, s, w2)
-    b = integ.box_sum(ii, y0 + s, x0, s, w2)
-    c = integ.box_sum(ii, y0 + 2 * s, x0, s, w2)
-    dyy = (a - 2.0 * b + c) * norm
+    hw = w2 // 2
 
-    # Dxx: transpose layout
-    xx0 = x - (3 * s) // 2
-    yy0 = y - (w2 // 2)
-    a = integ.box_sum(ii, yy0, xx0, w2, s)
-    b = integ.box_sum(ii, yy0, xx0 + s, w2, s)
-    c = integ.box_sum(ii, yy0, xx0 + 2 * s, w2, s)
-    dxx = (a - 2.0 * b + c) * norm
+    # Dyy: three (s x 2s-1) boxes stacked in y, centered at the pixel
+    y0 = -(3 * s) // 2
+    atop = _box_map(P, H, W, y0, y0 + s, -hw, -hw + w2)
+    amid = _box_map(P, H, W, y0 + s, y0 + 2 * s, -hw, -hw + w2)
+    abot = _box_map(P, H, W, y0 + 2 * s, y0 + 3 * s, -hw, -hw + w2)
+    dyy = (atop - 2.0 * amid + abot) * norm
+
+    x0 = -(3 * s) // 2
+    aL = _box_map(P, H, W, -hw, -hw + w2, x0, x0 + s)
+    aM = _box_map(P, H, W, -hw, -hw + w2, x0 + s, x0 + 2 * s)
+    aR = _box_map(P, H, W, -hw, -hw + w2, x0 + 2 * s, x0 + 3 * s)
+    dxx = (aL - 2.0 * aM + aR) * norm
 
     # Dxy: four s x s corner boxes
-    a = integ.box_sum(ii, y - s, x - s, s, s)  # top-left (+)
-    b = integ.box_sum(ii, y - s, x + 1, s, s)  # top-right (-)
-    c = integ.box_sum(ii, y + 1, x - s, s, s)  # bottom-left (-)
-    d = integ.box_sum(ii, y + 1, x + 1, s, s)  # bottom-right (+)
-    dxy = (a - b - c + d) * norm
+    tl = _box_map(P, H, W, -s, 0, -s, 0)
+    tr = _box_map(P, H, W, -s, 0, 1, 1 + s)
+    bl = _box_map(P, H, W, 1, 1 + s, -s, 0)
+    br = _box_map(P, H, W, 1, 1 + s, 1, 1 + s)
+    dxy = (tl - tr - bl + br) * norm
 
     det = dxx * dyy - (0.81 * dxy * dxy)
     # kill border responses where the filter hangs off the image
+    y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     margin = (3 * s) // 2 + 1
     inside = (y >= margin) & (y < H - margin) & (x >= margin) & (x < W - margin)
     return jnp.where(inside, det, -jnp.inf)
+
+
+def _topk_2stage(flat: jnp.ndarray, k: int, n_rows: int = 4096):
+    """Hierarchical top-k: per-row top-2 by masked max reductions, then an
+    exact top_k over the 2*n_rows candidates. jax.lax.top_k on TPU sorts the
+    whole array (~40 ms at 2.4M entries); this runs as two cheap reductions.
+    At most 2 winners per contiguous flat chunk — with NMS'd responses and
+    k << n this matches exact top-k in practice."""
+    n = flat.shape[0]
+    m = -(-n // n_rows)
+    pad = n_rows * m - n
+    fl = jnp.pad(flat, (0, pad), constant_values=-jnp.inf).reshape(n_rows, m)
+    idx_base = jax.lax.broadcasted_iota(jnp.int32, (n_rows, m), 1)
+    a1 = jnp.argmax(fl, axis=1)
+    v1 = jnp.take_along_axis(fl, a1[:, None], axis=1)[:, 0]
+    fl2 = jnp.where(idx_base == a1[:, None], -jnp.inf, fl)
+    a2 = jnp.argmax(fl2, axis=1)
+    v2 = jnp.take_along_axis(fl2, a2[:, None], axis=1)[:, 0]
+    row0 = jnp.arange(n_rows) * m
+    cand_v = jnp.concatenate([v1, v2])
+    cand_i = jnp.concatenate([row0 + a1, row0 + a2])
+    top_v, sel = jax.lax.top_k(cand_v, k)
+    return top_v, cand_i[sel]
 
 
 def surf_filter_sizes(n_octaves: int = 3, n_layers: int = 4):
@@ -103,12 +144,13 @@ def fast_hessian(
     img: (H, W) float grayscale (0..255 scale for threshold parity).
     """
     H, W = img.shape
-    ii = integ.integral(img)
+    ii = integ.integral(img)  # for the orientation stage's Haar gathers
+    P = _padded_integral(img)  # shared by all response maps (static slices)
     ladders = surf_filter_sizes(n_octaves, n_layers)
 
     all_y, all_x, all_s, all_r = [], [], [], []
     for o, sizes in enumerate(ladders):
-        maps = jnp.stack([_hessian_response(ii, sz) for sz in sizes])  # (L, H, W)
+        maps = jnp.stack([_hessian_response(P, H, W, sz) for sz in sizes])  # (L, H, W)
         # 3x3x3 NMS across (layer, y, x) on the middle layers
         neigh = jax.lax.reduce_window(
             maps, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
@@ -156,7 +198,7 @@ def fast_hessian(
     ss = jnp.concatenate(all_s)
     rs = jnp.concatenate(all_r)
 
-    top_r, top_i = jax.lax.top_k(rs, max_keypoints)
+    top_r, top_i = _topk_2stage(rs, max_keypoints)
     valid = jnp.isfinite(top_r)
     kps = Keypoints(
         y=jnp.where(valid, ys[top_i], 0.0),
