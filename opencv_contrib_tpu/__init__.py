@@ -45,7 +45,7 @@ from opencv_contrib_tpu import (
     intensity_transform, phase_unwrapping, reg,
     quality, shape, structured_light, superres, videostab, fuzzy, ximgproc,
     face, surface_matching, ccalib, mcc, plot, line_descriptor,
-    bioinspired, models, signal, alphamat,
+    bioinspired, models, signal, alphamat, aruco,
 )
 
 __all__ = [
@@ -85,5 +85,6 @@ __all__ = [
     "models",
     "signal",
     "alphamat",
+    "aruco",
     "__version__",
 ]

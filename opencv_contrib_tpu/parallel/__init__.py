@@ -16,6 +16,6 @@ layer is designed fresh, TPU-native:
 - multihost: jax.distributed initialization helpers for pod slices.
 """
 
-from opencv_contrib_tpu.parallel import mesh, dist_ba, ring_match
+from opencv_contrib_tpu.parallel import mesh, dist_ba, ring_match, dist_sfm
 
-__all__ = ["mesh", "dist_ba", "ring_match"]
+__all__ = ["mesh", "dist_ba", "ring_match", "dist_sfm"]

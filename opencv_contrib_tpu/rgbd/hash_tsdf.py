@@ -197,23 +197,23 @@ def raycast(vol: HashTSDF, intr: jnp.ndarray, T_cw: jnp.ndarray, shape=(120, 160
     origin = t_wc
     dz = (depth_max - depth_min) / n_steps
 
-    def step(carry, i):
-        zhit, prev_f, prev_z, done = carry
-        zc = depth_min + (i + 0.5) * dz
-        pt = origin[None, None] + dirs * zc
-        f, ok = sample(vol, pt)
-        crossing = ok & (prev_f > 0) & (f < 0) & ~done
-        denom = prev_f - f
-        alpha = jnp.where(jnp.abs(denom) > 1e-9, prev_f / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
-        zint = prev_z + alpha * (zc - prev_z)
-        zhit = jnp.where(crossing, zint, zhit)
-        done = done | crossing
-        prev_f = jnp.where(ok, f, prev_f)
-        prev_z = jnp.where(ok, zc, prev_z)
-        return (zhit, prev_f, prev_z, done), None
-
-    init = (jnp.zeros((H, W)), jnp.ones((H, W)), jnp.full((H, W), depth_min), jnp.zeros((H, W), bool))
-    (zhit, _, _, valid), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+    # sample-all-then-reduce (see tsdf.raycast): one batched lookup of all
+    # (step, ray) samples, then a vectorized first-crossing argmax
+    zs = depth_min + (jnp.arange(n_steps) + 0.5) * dz
+    pts = origin[None, None, None] + dirs[None] * zs[:, None, None, None]
+    f, ok = sample(vol, pts)  # (S, H, W)
+    f_prev = jnp.concatenate([jnp.ones((1, H, W)), f[:-1]])
+    ok_prev = jnp.concatenate([jnp.zeros((1, H, W), bool), ok[:-1]])
+    crossing = ok & ok_prev & (f_prev > 0) & (f < 0)
+    valid = jnp.any(crossing, axis=0)
+    first = jnp.argmax(crossing, axis=0)
+    fi = jnp.take_along_axis(f, first[None], axis=0)[0]
+    fp = jnp.take_along_axis(f_prev, first[None], axis=0)[0]
+    zc = zs[first]
+    zp = zs[jnp.maximum(first - 1, 0)]
+    denom = fp - fi
+    alpha = jnp.where(jnp.abs(denom) > 1e-9, fp / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
+    zhit = jnp.where(valid, zp + alpha * (zc - zp), 0.0)
     pts_world = origin[None, None] + dirs * zhit[..., None]
 
     # normals by central differences of the sampled field

@@ -87,3 +87,42 @@ class TestRingMatch:
         )
         for i in range(8):
             np.testing.assert_array_equal(np.asarray(idx)[i, i], np.arange(16))
+
+
+class TestDistSfm:
+    def test_batched_frontend_sharded(self, mesh8, rng):
+        from opencv_contrib_tpu.parallel import dist_sfm
+        from opencv_contrib_tpu.ops import filters
+
+        imgs = np.stack([
+            np.asarray(filters.gaussian_blur(jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32)), 2.0))
+            for _ in range(4)
+        ])
+        descs, xy, valid = dist_sfm.batched_frontend(jnp.asarray(imgs), mesh8, max_keypoints=64, threshold=1.0)
+        assert descs.shape == (4, 64, 64)
+        assert np.asarray(valid).sum() > 0
+        # sharded over dp
+        assert "dp" in str(descs.sharding.spec) or descs.sharding.spec[0] is not None
+
+    def test_end_to_end_distributed_step(self, mesh8, rng):
+        """Frontend -> ring matching -> sharded BA in sequence on the mesh."""
+        from opencv_contrib_tpu.parallel import dist_sfm
+        from opencv_contrib_tpu.ops import filters
+
+        base = np.asarray(filters.gaussian_blur(jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32)), 2.0)) * 3
+        imgs = np.stack([np.roll(base, 3 * i, axis=1) for i in range(4)])
+        descs, xy, valid = dist_sfm.batched_frontend(jnp.asarray(imgs), mesh8, max_keypoints=64, threshold=1.0)
+        idx, dist, ok = dist_sfm.distributed_matching(descs, valid, mesh8)
+        # neighboring shifted frames must match
+        assert int(ok[0, 1].sum()) > 10
+        # sharded BA on a synthetic problem closes the loop
+        p = _problem()
+        res = dist_sfm.distributed_bundle(p, mesh8, n_iters=8)
+        assert float(res.final_cost) < float(res.initial_cost)
+
+    def test_scaling_report_shape(self, mesh8):
+        from opencv_contrib_tpu.parallel import dist_sfm
+
+        rep = dist_sfm.scaling_report(_problem(), mesh8, n_iters=3, repeats=1)
+        assert set(rep) == {"t_single_s", "t_sharded_s", "n_devices", "speedup", "efficiency"}
+        assert rep["n_devices"] == 8
