@@ -95,3 +95,146 @@ class TestKalman:
             st = kalman.ukf_predict(st, f, Q)
             st = kalman.ukf_correct(st, jnp.asarray(z, jnp.float32), h, R)
         np.testing.assert_allclose(np.asarray(st.x[:2]), x_true[:2], atol=0.15)
+
+
+class TestCsrt:
+    def test_follows_target(self):
+        from opencv_contrib_tpu.tracking import csrt
+
+        frames, centers = _target_sequence(vel=(2.0, 2.5), seed=3)
+        st = csrt.csrt_init(jnp.asarray(frames[0]), centers[0], target_hw=(21, 21))
+        for i in range(1, len(frames)):
+            st, peak = csrt.csrt_update(st, jnp.asarray(frames[i]))
+            err = np.linalg.norm(np.asarray(st.center) - np.asarray(centers[i]))
+            assert err < 3.0, f"frame {i}: err {err}"
+
+    def test_spatial_reliability_masks_background(self):
+        from opencv_contrib_tpu.tracking import csrt
+
+        frames, centers = _target_sequence(n=1)
+        patch = np.asarray(frames[0])[8:72, 8:72]
+        m = np.asarray(csrt._spatial_reliability(jnp.asarray(patch), (21, 21), (64, 64)))
+        assert m.shape == (64, 64)
+        assert m.max() <= 1.0 + 1e-5 and m.min() >= 0.0
+        # corners (pure background) must carry no weight
+        assert m[0, 0] == 0.0 and m[-1, -1] == 0.0
+
+
+class TestMedianFlow:
+    def test_follows_target(self):
+        from opencv_contrib_tpu.tracking import medianflow
+
+        frames, centers = _target_sequence(vel=(2.0, 3.0), seed=7)
+        box = medianflow.Box(jnp.asarray(centers[0], jnp.float32), jnp.asarray([20.0, 20.0]))
+        for i in range(1, len(frames)):
+            box, ok = medianflow.medianflow_update(box, jnp.asarray(frames[i - 1]), jnp.asarray(frames[i]))
+            assert bool(ok), f"lost at frame {i}"
+            err = np.linalg.norm(np.asarray(box.center) - np.asarray(centers[i]))
+            assert err < 2.5, f"frame {i}: err {err}"
+
+    def test_masked_median(self):
+        from opencv_contrib_tpu.tracking.medianflow import _masked_median
+
+        x = jnp.asarray([5.0, 1.0, 9.0, 3.0])
+        m = jnp.asarray([True, True, False, True])
+        assert float(_masked_median(x, m)) == 3.0
+        assert float(_masked_median(x, jnp.zeros(4, bool))) == 0.0
+
+
+class TestMil:
+    def test_follows_target(self):
+        from opencv_contrib_tpu.tracking import mil
+
+        frames, centers = _target_sequence(vel=(2.0, 2.0), seed=11)
+        key = jax.random.PRNGKey(0)
+        bank = mil.make_feature_bank(key, patch=32, n_features=120)
+        st = mil.mil_init(jnp.asarray(frames[0]), centers[0], key, bank)
+        for i in range(1, len(frames)):
+            key, k = jax.random.split(key)
+            st, score = mil.mil_update(st, jnp.asarray(frames[i]), k, bank)
+            err = np.linalg.norm(np.asarray(st.center) - np.asarray(centers[i]))
+        # MIL is a detector-style tracker: require final lock within a few px
+        assert err < 6.0, f"final err {err}"
+
+
+class TestTld:
+    def test_tracks_and_relocalizes(self):
+        from opencv_contrib_tpu.tracking import tld
+
+        frames, centers = _target_sequence(n=8, vel=(2.0, 2.0), seed=13)
+        key = jax.random.PRNGKey(1)
+        bank = tld.fern_bank(key)
+        st = tld.tld_init(jnp.asarray(frames[0]), centers[0], (21.0, 21.0), key)
+        for i in range(1, len(frames)):
+            st, conf = tld.tld_update(st, jnp.asarray(frames[i - 1]), jnp.asarray(frames[i]), bank)
+            err = np.linalg.norm(np.asarray(st.box.center) - np.asarray(centers[i]))
+            assert err < 4.0, f"frame {i}: err {err}"
+        assert float(conf) > 0.5
+
+
+class TestKuhnMunkres:
+    def test_optimal_assignment(self):
+        from opencv_contrib_tpu.tracking.matching import kuhn_munkres
+
+        cost = np.array([[4.0, 1.0, 3.0], [2.0, 0.0, 5.0], [3.0, 2.0, 2.0]])
+        col = kuhn_munkres(cost)
+        assert sorted(col.tolist()) == [0, 1, 2]
+        total = cost[np.arange(3), col].sum()
+        # brute force optimum
+        import itertools
+
+        best = min(sum(cost[i, p[i]] for i in range(3)) for p in itertools.permutations(range(3)))
+        assert total == best
+
+    def test_rectangular_both_ways(self):
+        from opencv_contrib_tpu.tracking.matching import kuhn_munkres
+
+        rng = np.random.default_rng(0)
+        import itertools
+
+        for shape in [(3, 5), (5, 3), (4, 4)]:
+            cost = rng.uniform(0, 10, shape)
+            col = kuhn_munkres(cost)
+            n, m = shape
+            k = min(n, m)
+            assigned = [(i, c) for i, c in enumerate(col) if c >= 0]
+            assert len(assigned) == k
+            assert len({c for _, c in assigned}) == k
+            total = sum(cost[i, c] for i, c in assigned)
+            # brute force optimum over the smaller side
+            if n <= m:
+                best = min(
+                    sum(cost[i, p[i]] for i in range(n)) for p in itertools.permutations(range(m), n)
+                )
+            else:
+                best = min(
+                    sum(cost[p[j], j] for j in range(m)) for p in itertools.permutations(range(n), m)
+                )
+            assert abs(total - best) < 1e-9, shape
+
+
+class TestTrackerByMatching:
+    def test_track_continuity_and_spawn(self):
+        from opencv_contrib_tpu.tracking.matching import TrackerByMatching
+
+        trk = TrackerByMatching(max_cost=0.8)
+        b0 = np.array([[10, 10, 30, 30], [50, 50, 70, 70]], np.float32)
+        ids0 = {tid for tid, _ in trk.process(b0)}
+        # both move slightly -> same ids
+        b1 = b0 + 2.0
+        out1 = trk.process(b1)
+        ids1 = {tid for tid, _ in out1}
+        assert ids1 == ids0
+        # a new detection spawns a new track
+        b2 = np.vstack([b1 + 2.0, [[100, 100, 120, 120]]]).astype(np.float32)
+        out2 = trk.process(b2)
+        assert len(out2) == 3
+
+    def test_track_death(self):
+        from opencv_contrib_tpu.tracking.matching import TrackerByMatching
+
+        trk = TrackerByMatching(max_cost=0.8, max_misses=2)
+        trk.process(np.array([[10, 10, 30, 30]], np.float32))
+        for _ in range(4):
+            out = trk.process(np.zeros((0, 4), np.float32))
+        assert out == []
