@@ -46,9 +46,12 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     # sin(t)/t and (1-cos(t))/t^2 with small-angle Taylor expansions.
+    # theta2_safe keeps the UNTAKEN branch finite so reverse-mode autodiff
+    # through the where() stays NaN-free at theta = 0.
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return I + A[..., None, None] * W + B[..., None, None] * (W @ W)
@@ -68,9 +71,10 @@ def exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)  # NaN-free autodiff at 0
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2_safe)
     W = hat(w)
     WW = W @ W
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
@@ -87,8 +91,9 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)  # NaN-free autodiff at 0
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = hat(w)
     WW = W @ W
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
@@ -96,7 +101,7 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - A / (2.0 * B)) / theta2,
+        (1.0 - A / (2.0 * jnp.where(small, 0.5, B))) / theta2_safe,
     )
     Vinv = I - 0.5 * W + coef[..., None, None] * WW
     v = jnp.einsum("...ij,...j->...i", Vinv, t)

@@ -10,6 +10,22 @@ the host keeps only the per-frame control loop (the reference's own
 Mat/UMat split, kinfu.cpp:197-229).
 """
 
-from opencv_contrib_tpu.rgbd import frame, icp, tsdf, hash_tsdf, kinfu, odometry, posegraph, submap
+from opencv_contrib_tpu.rgbd import (
+    colored_tsdf,
+    depth_utils,
+    frame,
+    hash_tsdf,
+    icp,
+    kinfu,
+    linemod,
+    odometry,
+    posegraph,
+    submap,
+    tsdf,
+    warpfield,
+)
 
-__all__ = ["frame", "icp", "tsdf", "hash_tsdf", "kinfu", "odometry", "posegraph", "submap"]
+__all__ = [
+    "colored_tsdf", "depth_utils", "frame", "hash_tsdf", "icp", "kinfu",
+    "linemod", "odometry", "posegraph", "submap", "tsdf", "warpfield",
+]
