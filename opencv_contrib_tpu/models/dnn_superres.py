@@ -63,6 +63,56 @@ class FSRCNN(nn.Module):
         return h
 
 
+class EDSR(nn.Module):
+    """Lim et al. enhanced deep SR (lite): residual blocks without BN +
+    pixel-shuffle tail (dnn_superres ships the full EDSR; depth/width here
+    are scaled down but the architecture matches)."""
+
+    scale: int = 2
+    features: int = 32
+    n_blocks: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        h0 = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        h = h0
+        for _ in range(self.n_blocks):
+            r = nn.Conv(self.features, (3, 3), padding="SAME")(h)
+            r = nn.relu(r)
+            r = nn.Conv(self.features, (3, 3), padding="SAME")(r)
+            h = h + 0.1 * r  # EDSR residual scaling
+        h = nn.Conv(self.features, (3, 3), padding="SAME")(h) + h0
+        h = nn.Conv(self.scale * self.scale, (3, 3), padding="SAME")(h)
+        N, H, W, C = h.shape
+        sc = self.scale
+        h = h.reshape(N, H, W, sc, sc).transpose(0, 1, 3, 2, 4).reshape(N, H * sc, W * sc, 1)
+        return h
+
+
+class LapSRN(nn.Module):
+    """Lai et al. Laplacian-pyramid SR: progressive x2 stages, each
+    predicting a residual added to an upsampled base (scale must be a
+    power of two)."""
+
+    scale: int = 2
+    features: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        out = x
+        n_stages = int(np.log2(self.scale))
+        for _ in range(n_stages):
+            feat = nn.Conv(self.features, (3, 3), padding="SAME")(out)
+            feat = nn.leaky_relu(feat, 0.2)
+            feat = nn.Conv(self.features, (3, 3), padding="SAME")(feat)
+            feat = nn.leaky_relu(feat, 0.2)
+            res = nn.ConvTranspose(1, (4, 4), strides=(2, 2), padding="SAME")(feat)
+            N, H, W, _ = out.shape
+            base = jax.image.resize(out, (N, H * 2, W * 2, 1), "bilinear")
+            out = base + res
+        return out
+
+
 class DnnSuperRes:
     """DnnSuperResImpl-contract wrapper."""
 
@@ -73,8 +123,12 @@ class DnnSuperRes:
             self.net = ESPCN(scale=scale)
         elif algo == "fsrcnn":
             self.net = FSRCNN(scale=scale)
+        elif algo == "edsr":
+            self.net = EDSR(scale=scale)
+        elif algo == "lapsrn":
+            self.net = LapSRN(scale=scale)
         else:
-            raise ValueError(f"unknown algo {algo} (espcn|fsrcnn)")
+            raise ValueError(f"unknown algo {algo} (espcn|fsrcnn|edsr|lapsrn)")
         self.params = self.net.init(jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 1)))
         self._tx = None
         self._opt_state = None
@@ -84,8 +138,10 @@ class DnnSuperRes:
     def upsample(self, img) -> jnp.ndarray:
         """(H, W) in [0, 1] -> (scale*H, scale*W)."""
         x = jnp.asarray(img, jnp.float32)[None, ..., None]
-        base = jax.image.resize(x, (1, x.shape[1] * self.scale, x.shape[2] * self.scale, 1), "bilinear")
-        out = self.net.apply(self.params, x) + base  # residual learning
+        out = self.net.apply(self.params, x)
+        if self.algo != "lapsrn":  # LapSRN adds its pyramid bases internally
+            base = jax.image.resize(x, (1, x.shape[1] * self.scale, x.shape[2] * self.scale, 1), "bilinear")
+            out = out + base  # residual learning
         return jnp.clip(out[0, ..., 0], 0.0, 1.0)
 
     @staticmethod

@@ -11,6 +11,7 @@ lax.scan along each scan direction (log-depth over disparities is not
 needed — D is the vector lane dim).
 """
 
+from opencv_contrib_tpu.stereo.quasi_dense import quasi_dense_stereo, zncc_volume
 from opencv_contrib_tpu.stereo.matching import (
     census_transform,
     cost_volume_sad,

@@ -23,6 +23,9 @@ from opencv_contrib_tpu.ximgproc.slic import slic
 from opencv_contrib_tpu.ximgproc.edges import structured_edges_lite, fast_hough_lines, thinning
 from opencv_contrib_tpu.ximgproc.interp import edge_aware_interpolate
 from opencv_contrib_tpu.ximgproc.fourier import fourier_descriptors
+from opencv_contrib_tpu.ximgproc.superpixels_x import lsc, seeds
+from opencv_contrib_tpu.ximgproc.segmentation import edge_boxes, graph_segment, selective_search
+from opencv_contrib_tpu.ximgproc.edline import ed_circles, ed_lines
 
 __all__ = [
     "anisotropic_diffusion",
