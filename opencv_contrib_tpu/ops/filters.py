@@ -76,6 +76,37 @@ def box_filter(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     return sep_filter2d(img, k, k)
 
 
+def _box_blur_cumsum(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """O(1)-per-pixel box mean via integral image (replicate border)."""
+    H, W = img.shape
+    p = jnp.pad(img, radius, mode="edge")
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(p, 0), 1), ((1, 0), (1, 0)))
+    n = 2 * radius + 1
+    s = ii[n:, n:] - ii[:-n, n:] - ii[n:, :-n] + ii[:-n, :-n]
+    return s / (n * n)
+
+
+def fast_gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Gaussian approximation by three iterated cumsum box blurs — O(1) per
+    pixel regardless of sigma (vs O(sigma) taps for the separable conv).
+    Standard 3-box radii choice: box variance 3*r(r+1)/3 matches sigma^2.
+    Use for sigma >~ 3 on hot paths (DAISY cubes, scale-space)."""
+    if sigma < 3.0:
+        return gaussian_blur(img, sigma)
+    # standard boxesForGauss: mix two odd widths so the summed box variance
+    # matches sigma^2 exactly
+    wl = int(math.floor(math.sqrt(4.0 * sigma * sigma + 1.0)))
+    if wl % 2 == 0:
+        wl -= 1
+    wu = wl + 2
+    m = round((12.0 * sigma * sigma - 3 * wl * wl - 12 * wl - 9) / (-4.0 * wl - 4.0))
+    out = img
+    for i in range(3):
+        w = wl if i < m else wu
+        out = _box_blur_cumsum(out, max(1, (w - 1) // 2))
+    return out
+
+
 SOBEL_D = jnp.array([-1.0, 0.0, 1.0])
 SOBEL_S = jnp.array([1.0, 2.0, 1.0])
 SCHARR_S = jnp.array([3.0, 10.0, 3.0])

@@ -48,6 +48,32 @@ def sample_bilinear(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.nda
     return top * (1 - wy) + bot * wy
 
 
+def sample_bilinear_multi(maps: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample C maps (C, H, W) at shared float coords — ONE gather.
+
+    TPU gathers pay per row; a small minor-dim vector rides along free. The
+    4 bilinear corners of all C maps are stacked into (H*W, 4C) rows so the
+    whole sampling is a single gather (measured ~11x faster than 4C
+    separate gathers for C=2 at 1024x400 samples on v5e). Border: clamp.
+    Returns (C, *y.shape).
+    """
+    C, H, W = maps.shape
+    m01 = jnp.roll(maps, -1, 2)
+    m10 = jnp.roll(maps, -1, 1)
+    m11 = jnp.roll(m10, -1, 2)
+    T = jnp.concatenate([maps, m01, m10, m11], axis=0).reshape(4 * C, -1).T  # (H*W, 4C)
+    yc = jnp.clip(y, 0.0, H - 1.001)
+    xc = jnp.clip(x, 0.0, W - 1.001)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    fy = yc - y0
+    fx = xc - x0
+    rows = T[y0 * W + x0]  # (*y.shape, 4C)
+    w = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx])  # (4, ...)
+    r = jnp.moveaxis(rows, -1, 0).reshape((4, C) + y.shape)
+    return (r * w[:, None]).sum(0)
+
+
 def sample_bilinear_valid(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
     """Bilinear sample + in-bounds mask (True where the full 2x2 footprint is
     inside the image)."""
