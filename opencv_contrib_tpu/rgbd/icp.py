@@ -45,9 +45,15 @@ def build_system(
     vi = jnp.round(v).astype(jnp.int32)
     inb = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (p[..., 2] > 0) & src.valid
 
-    q = _gather2d(dst.points, vi, ui)
-    n = _gather2d(dst.normals, vi, ui)
-    qv = _gather2d(dst.valid, vi, ui)
+    # one 7-wide row gather (points, normals, valid) instead of three —
+    # TPU gathers pay per row (see ops.image.sample_bilinear_multi)
+    Tm = jnp.concatenate(
+        [dst.points, dst.normals, dst.valid[..., None].astype(dst.points.dtype)], axis=-1
+    ).reshape(-1, 7)
+    rows = Tm[jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)]
+    q = rows[..., 0:3]
+    n = rows[..., 3:6]
+    qv = rows[..., 6] > 0.5
 
     diff = p - q
     dist_ok = jnp.sum(diff * diff, axis=-1) < dist_thresh * dist_thresh

@@ -8,13 +8,17 @@ Params presets mirror kinfu::Params::defaultParams/coarseParams
 and the caller may `reset()` (kinfu.hpp:264) — the tracking-loss state
 machine kept as-is (SURVEY §5.3).
 
-Host holds only the tiny control loop + current pose; all bulk work
-(frame pipeline, ICP, integrate, raycast) is jitted device code.
+TPU-first: the ENTIRE tick (frame pipeline + multiscale ICP + gated
+integrate + raycast model) is ONE jitted program — a single device dispatch
+per frame. The min-movement and tracking-ok gates run as masked state
+selects inside the program instead of host branches (host round-trips cost
+more than the masked integrate, especially through a remote-TPU tunnel).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -58,11 +62,64 @@ class KinFuParams:
         )
 
 
+def _raycast_pyramid(volume, intr, T_cw, shape, levels, depth_max):
+    pts, nrm, valid = tsdf_mod.raycast(volume, intr, T_cw, shape=shape, depth_max=depth_max)
+    frames = []
+    p_l, n_l, v_l = pts, nrm, valid
+    depth_l = p_l[..., 2]
+    for _ in range(levels):
+        frames.append(DepthFrame(depth=depth_l, points=p_l, normals=n_l, valid=v_l))
+        p_l = p_l[::2, ::2]
+        n_l = n_l[::2, ::2]
+        v_l = v_l[::2, ::2]
+        depth_l = depth_l[::2, ::2]
+    return tuple(frames)
+
+
 class KinFu:
     """KinFu facade (create/update/reset/get_pose/render-analog raycast)."""
 
     def __init__(self, params: KinFuParams):
         self.p = params
+        p = params
+
+        @jax.jit
+        def _first(volume, T_cw, depth):
+            intr = jnp.asarray(p.intr)
+            pyr = frame_mod.make_frame(depth, intr, levels=p.pyramid_levels)
+            volume = tsdf_mod.integrate(
+                volume, pyr[0].depth, intr, T_cw,
+                max_weight=p.tsdf_max_weight, depth_max=p.depth_max)
+            model = _raycast_pyramid(volume, intr, T_cw, p.frame_shape,
+                                     p.pyramid_levels, p.depth_max)
+            return volume, model
+
+        @jax.jit
+        def _tick(volume, T_cw, model_pyr, depth):
+            intr = jnp.asarray(p.intr)
+            pyr = frame_mod.make_frame(depth, intr, levels=p.pyramid_levels)
+            T_rel, ok, err = icp_mod.estimate_transform(
+                pyr, model_pyr, intr,
+                iterations=p.icp_iterations, dist_thresh=p.icp_dist_thresh)
+            T_cw_new = jnp.where(ok, se3.inverse(T_rel) @ T_cw, T_cw)
+            delta = se3.log_se3(T_rel)
+            moved = (jnp.linalg.norm(delta[3:]) > p.min_translation) | (
+                jnp.linalg.norm(delta[:3]) > p.min_rotation)
+            vol2 = tsdf_mod.integrate(
+                volume, pyr[0].depth, intr, T_cw_new,
+                max_weight=p.tsdf_max_weight, depth_max=p.depth_max)
+            do_int = ok & moved
+            volume = volume._replace(
+                tsdf=jnp.where(do_int, vol2.tsdf, volume.tsdf),
+                weight=jnp.where(do_int, vol2.weight, volume.weight))
+            model_new = _raycast_pyramid(volume, intr, T_cw_new, p.frame_shape,
+                                         p.pyramid_levels, p.depth_max)
+            model = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), model_new, model_pyr)
+            return volume, T_cw_new, model, ok, err
+
+        self._first_fn = _first
+        self._tick_fn = _tick
         self.reset()
 
     def reset(self):
@@ -78,69 +135,26 @@ class KinFu:
         """Camera->world pose of the latest tracked frame (getPose)."""
         return np.asarray(se3.inverse(self.T_cw))
 
-    def _raycast_pyramid(self, T_cw):
-        pts, nrm, valid = tsdf_mod.raycast(
-            self.volume, jnp.asarray(self.p.intr), T_cw,
-            shape=self.p.frame_shape, depth_max=self.p.depth_max,
-        )
-        # build coarser levels by subsampling the model maps
-        frames = []
-        it = jnp.asarray(self.p.intr)
-        p_l, n_l, v_l = pts, nrm, valid
-        depth_l = p_l[..., 2]
-        for l in range(self.p.pyramid_levels):
-            frames.append(DepthFrame(depth=depth_l, points=p_l, normals=n_l, valid=v_l))
-            p_l = p_l[::2, ::2]
-            n_l = n_l[::2, ::2]
-            v_l = v_l[::2, ::2]
-            depth_l = depth_l[::2, ::2]
-        return tuple(frames)
-
-    def update(self, depth) -> bool:
+    def update(self, depth, sync: bool = True):
         """One frame tick (updateT, kinfu.cpp:233). Returns False on tracking
-        failure (caller decides to reset)."""
+        failure (caller decides to reset). ONE device dispatch per frame.
+
+        sync=False skips the host readback of the tracking-ok flag so
+        successive ticks pipeline on device (the flag is still recorded in
+        self.last_ok as a device scalar; read it when needed). Divergent
+        frames never corrupt state either way — the gates are masked
+        on-device."""
         depth = jnp.asarray(depth, jnp.float32)
-        pyr = frame_mod.make_frame(
-            depth, jnp.asarray(self.p.intr), levels=self.p.pyramid_levels
-        )
-
         if self.frame_count == 0:
-            self.volume = tsdf_mod.integrate(
-                self.volume, pyr[0].depth, jnp.asarray(self.p.intr), self.T_cw,
-                max_weight=self.p.tsdf_max_weight, depth_max=self.p.depth_max,
-            )
-            self.model_pyr = self._raycast_pyramid(self.T_cw)
+            self.volume, self.model_pyr = self._first_fn(self.volume, self.T_cw, depth)
             self.frame_count = 1
+            self.last_ok = jnp.asarray(True)
             return True
-
-        # ICP: new frame against raycast model rendered at previous pose.
-        # T maps new-frame camera coords -> previous-frame camera coords.
-        T_rel, ok, err = icp_mod.estimate_transform(
-            pyr, self.model_pyr, jnp.asarray(self.p.intr),
-            iterations=self.p.icp_iterations, dist_thresh=self.p.icp_dist_thresh,
-        )
-        if not bool(ok):
-            return False
-
-        # T_rel: cam_new -> cam_prev, so world->cam_new = T_rel^-1 o world->cam_prev
-        T_cw_new = se3.inverse(T_rel) @ self.T_cw
-
-        # min-movement gate (kinfu.cpp:266-271): skip integration if the
-        # camera barely moved (avoids over-averaging), but still update pose
-        delta = se3.log_se3(T_rel)
-        moved = (
-            float(jnp.linalg.norm(delta[3:])) > self.p.min_translation
-            or float(jnp.linalg.norm(delta[:3])) > self.p.min_rotation
-        )
-        self.T_cw = T_cw_new
-        if moved:
-            self.volume = tsdf_mod.integrate(
-                self.volume, pyr[0].depth, jnp.asarray(self.p.intr), self.T_cw,
-                max_weight=self.p.tsdf_max_weight, depth_max=self.p.depth_max,
-            )
-        self.model_pyr = self._raycast_pyramid(self.T_cw)
+        self.volume, self.T_cw, self.model_pyr, ok, err = self._tick_fn(
+            self.volume, self.T_cw, self.model_pyr, depth)
         self.frame_count += 1
-        return True
+        self.last_ok = ok
+        return bool(ok) if sync else True
 
     def get_cloud(self, max_points: int = 65536):
         """World-frame surface points + normals (getCloud)."""

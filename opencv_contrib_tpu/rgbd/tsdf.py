@@ -85,7 +85,26 @@ def integrate(
     vi = jnp.round(v).astype(jnp.int32)
     inb = (z > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
 
-    d = depth[jnp.clip(vi, 0, H - 1), jnp.clip(ui, 0, W - 1)]
+    # Per-voxel depth lookup as a one-hot MATMUL instead of a gather: TPU
+    # gathers pay ~10 ns per row (2M voxels -> 20 ms); routing the lookup
+    # through the MXU — rows = onehot(vi) @ depth, then a one-hot dot over
+    # columns — runs in ~4 ms. Scanned over x-slices to bound the one-hot
+    # intermediate. Depth is mean-centered so the MXU's reduced-precision
+    # accumulation only touches the residual (one-hot rows sum to 1).
+    dmean = depth.mean()
+    d_c = depth - dmean
+    vic = jnp.clip(vi, 0, H - 1)
+    uic = jnp.clip(ui, 0, W - 1)
+
+    def slice_lookup(_, idx):
+        vs, us = idx  # (Y, Z) int32
+        ohv = jax.nn.one_hot(vs.reshape(-1), H, dtype=jnp.float32)
+        rows = jnp.dot(ohv, d_c, preferred_element_type=jnp.float32)  # (YZ, W)
+        ohu = jax.nn.one_hot(us.reshape(-1), W, dtype=jnp.float32)
+        return _, (rows * ohu).sum(-1).reshape(vs.shape)
+
+    _, d = jax.lax.scan(slice_lookup, 0, (vic, uic))
+    d = d + dmean
     valid = inb & (d > 0) & (d < depth_max)
 
     sdf = d - z
@@ -103,34 +122,41 @@ def integrate(
     return vol._replace(tsdf=fused, weight=w_new)
 
 
+def _corner_stack(vol: TSDFVolume) -> jnp.ndarray:
+    """(X*Y*Z, 16) rows: the 8 trilinear corners of tsdf then weight.
+    TPU gathers pay per row; one 16-wide row replaces 16 separate gathers
+    (same trick as ops.image.sample_bilinear_multi). Pure function of vol —
+    XLA CSE dedupes it across samplers inside one jit."""
+    chans = []
+    for m in (vol.tsdf, vol.weight):
+        for dx in (0, 1):
+            mx = jnp.roll(m, -dx, 0) if dx else m
+            for dy in (0, 1):
+                mxy = jnp.roll(mx, -dy, 1) if dy else mx
+                for dz in (0, 1):
+                    chans.append(jnp.roll(mxy, -dz, 2) if dz else mxy)
+    return jnp.stack(chans, axis=-1).reshape(-1, 16)
+
+
 def sample_trilinear(vol: TSDFVolume, pts_world: jnp.ndarray):
     """Trilinear TSDF sample at world points (..., 3). Returns (value, valid)
-    where valid requires all 8 corners to carry weight."""
-    g = (pts_world - vol.origin) / vol.voxel_size
-    g0 = jnp.floor(g)
-    f = g - g0
-    gi = g0.astype(jnp.int32)
+    where valid requires all 8 corners to carry weight. One corner-stacked
+    gather per point (16 rows -> 1)."""
     X, Y, Z = vol.dims
-
-    def corner(dx, dy, dz):
-        ix = jnp.clip(gi[..., 0] + dx, 0, X - 1)
-        iy = jnp.clip(gi[..., 1] + dy, 0, Y - 1)
-        iz = jnp.clip(gi[..., 2] + dz, 0, Z - 1)
-        val = vol.tsdf[ix, iy, iz]
-        wgt = vol.weight[ix, iy, iz]
-        return val, wgt
-
-    acc = 0.0
-    wmin = jnp.inf
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                val, wgt = corner(dx, dy, dz)
-                wx = f[..., 0] if dx else 1.0 - f[..., 0]
-                wy = f[..., 1] if dy else 1.0 - f[..., 1]
-                wz = f[..., 2] if dz else 1.0 - f[..., 2]
-                acc = acc + val * wx * wy * wz
-                wmin = jnp.minimum(wmin, wgt)
+    g = (pts_world - vol.origin) / vol.voxel_size
+    gc = jnp.clip(g, 0.0, jnp.array([X - 1.001, Y - 1.001, Z - 1.001], jnp.float32))
+    g0 = jnp.floor(gc)
+    f = gc - g0
+    gi = g0.astype(jnp.int32)
+    T = _corner_stack(vol)
+    rows = T[(gi[..., 0] * Y + gi[..., 1]) * Z + gi[..., 2]]  # (..., 16)
+    wx = jnp.stack([1.0 - f[..., 0], f[..., 0]])  # (2, ...)
+    wy = jnp.stack([1.0 - f[..., 1], f[..., 1]])
+    wz = jnp.stack([1.0 - f[..., 2], f[..., 2]])
+    w8 = (wx[:, None, None] * wy[None, :, None] * wz[None, None, :]).reshape((8,) + f.shape[:-1])
+    vals = jnp.moveaxis(rows, -1, 0)  # (16, ...)
+    acc = (vals[:8] * w8).sum(0)
+    wmin = vals[8:].min(0)
     inb = jnp.all((g >= 0) & (g <= jnp.array([X - 1, Y - 1, Z - 1], jnp.float32)), axis=-1)
     return acc, (wmin > 0) & inb
 
@@ -143,8 +169,10 @@ def sample_nearest(vol: TSDFVolume, pts_world: jnp.ndarray):
     ix = jnp.clip(gi[..., 0], 0, X - 1)
     iy = jnp.clip(gi[..., 1], 0, Y - 1)
     iz = jnp.clip(gi[..., 2], 0, Z - 1)
-    val = vol.tsdf[ix, iy, iz]
-    wgt = vol.weight[ix, iy, iz]
+    # one 2-wide row per point instead of two gathers
+    T = jnp.stack([vol.tsdf, vol.weight], axis=-1).reshape(-1, 2)
+    rows = T[(ix * Y + iy) * Z + iz]
+    val, wgt = rows[..., 0], rows[..., 1]
     inb = jnp.all((g >= 0) & (g <= jnp.array([X - 1, Y - 1, Z - 1], jnp.float32)), axis=-1)
     return val, (wgt > 0) & inb
 
@@ -188,34 +216,48 @@ def raycast(
     dirs = jnp.einsum("ij,hwj->hwi", R_wc, dirs_cam)  # world
     origin = t_wc
 
-    # Sample-all-then-reduce: evaluate the TSDF at every step of every ray
-    # as ONE batched trilinear gather (S, H, W), then find the first +/-
-    # crossing with a vectorized argmax — no sequential scan. 192 steps x
-    # 120x160 rays = 15 MB of samples; trading memory for parallelism turns
-    # the 192-dispatch gather chain into one fused program (~100x faster on
-    # TPU than the step-by-step march).
-    dz = (depth_max - depth_min) / n_steps
-    zs = depth_min + (jnp.arange(n_steps) + 0.5) * dz  # (S,)
-    pts = origin[None, None, None] + dirs[None] * zs[:, None, None, None]  # (S, H, W, 3)
-    # march with NEAREST-voxel sampling (1 gather/sample instead of the
-    # trilinear 8): the zero-crossing bracket is refined by linear
-    # interpolation of the sampled values, and surface normals below use
-    # full trilinear gradients — 8x less gather traffic on the hot path
-    f, ok = sample_nearest(vol, pts)  # (S, H, W)
+    # Coarse-to-fine sample-all-then-reduce: gathers pay per sampled point,
+    # so instead of S dense steps we bracket the first +/- crossing with a
+    # COARSE pass (step < trunc_dist so the band cannot be skipped), then
+    # resample n_fine steps inside each ray's bracket. 192 dense -> 48+8
+    # cuts gather traffic ~3.4x on the hot path; both passes use NEAREST
+    # sampling (normals below use full trilinear gradients).
+    n_coarse = min(n_steps, max(16, n_steps // 4))
+    n_fine = 8
+    dz = (depth_max - depth_min) / n_coarse
+    zs = depth_min + (jnp.arange(n_coarse) + 0.5) * dz  # (C,)
+    pts = origin[None, None, None] + dirs[None] * zs[:, None, None, None]  # (C, H, W, 3)
+    f, ok = sample_nearest(vol, pts)  # (C, H, W)
 
     f_prev = jnp.concatenate([jnp.ones((1, H, W)), f[:-1]])
     ok_prev = jnp.concatenate([jnp.zeros((1, H, W), bool), ok[:-1]])
     crossing = ok & ok_prev & (f_prev > 0) & (f < 0)
     valid = jnp.any(crossing, axis=0)
-    first = jnp.argmax(crossing, axis=0)  # (H, W) index of first crossing
+    first = jnp.argmax(crossing, axis=0)  # (H, W) coarse index of crossing
 
-    fi = jnp.take_along_axis(f, first[None], axis=0)[0]
-    fp = jnp.take_along_axis(f_prev, first[None], axis=0)[0]
     zc = zs[first]
     zp = zs[jnp.maximum(first - 1, 0)]
+    # fine pass: n_fine samples inside [zp, zc] per ray
+    tf = (jnp.arange(n_fine, dtype=jnp.float32) + 0.5) / n_fine  # (F,)
+    zf = zp[None] + tf[:, None, None] * (zc - zp)[None]  # (F, H, W)
+    ptsf = origin[None, None, None] + dirs[None] * zf[..., None]
+    ff, okf = sample_nearest(vol, ptsf)  # (F, H, W)
+    ff_prev = jnp.concatenate([jnp.ones((1, H, W)), ff[:-1]])
+    okf_prev = jnp.concatenate([jnp.zeros((1, H, W), bool), okf[:-1]])
+    crossf = okf & okf_prev & (ff_prev > 0) & (ff < 0)
+    has_f = jnp.any(crossf, axis=0)
+    firstf = jnp.argmax(crossf, axis=0)
+    dzf = (zc - zp) / n_fine
+    fi = jnp.take_along_axis(ff, firstf[None], axis=0)[0]
+    fp = jnp.take_along_axis(ff_prev, firstf[None], axis=0)[0]
+    z1 = jnp.take_along_axis(zf, firstf[None], axis=0)[0]
+    z0 = z1 - dzf
     denom = fp - fi
     alpha = jnp.where(jnp.abs(denom) > 1e-9, fp / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
-    zhit = jnp.where(valid, zp + alpha * (zc - zp), 0.0)
+    zhit_f = z0 + alpha * dzf
+    # fall back to the coarse bracket midpoint when the fine pass finds no
+    # sign change (nearest-sampling jitter at grazing angles)
+    zhit = jnp.where(valid, jnp.where(has_f, zhit_f, 0.5 * (zp + zc)), 0.0)
 
     pts_world = origin[None, None] + dirs * zhit[..., None]
     normals_world = sample_gradient(vol, pts_world)
