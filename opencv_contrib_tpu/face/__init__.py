@@ -3,9 +3,11 @@
 Reference anchors: face/src — EigenFaces (eigen_faces.cpp), FisherFaces
 (fisher_faces.cpp), LBPH (lbph_faces.cpp), all `: public FaceRecognizer`
 with train/predict/read/write (facerec.cpp:57-66); BIF features (bif.cpp).
-Facemark training (AAM/LBF/Kazemi) is a round-2 item.
+Facemark: cascaded shape regression (LBF/Kazemi class) with first-class
+training (face/src/facemarkLBF.cpp, face_alignment.cpp).
 """
 
+from opencv_contrib_tpu.face import facemark
 from opencv_contrib_tpu.face.recognizers import (
     EigenFaces,
     FisherFaces,
@@ -13,4 +15,4 @@ from opencv_contrib_tpu.face.recognizers import (
     lbp_image,
 )
 
-__all__ = ["EigenFaces", "FisherFaces", "LBPH", "lbp_image"]
+__all__ = ["EigenFaces", "FisherFaces", "LBPH", "lbp_image", "facemark"]

@@ -159,3 +159,43 @@ def match_pairs_batched(descs: jnp.ndarray, valids: jnp.ndarray, pairs: jnp.ndar
         return ratio_test_match(descs[i], descs[j], valids[i], valids[j], ratio=ratio)
 
     return jax.vmap(one)(pairs)
+
+
+@partial(jax.jit, static_argnames=("k", "min_support"))
+def logos_filter(
+    matches: Matches,
+    xy1: jnp.ndarray,
+    xy2: jnp.ndarray,
+    k: int = 5,
+    min_support: int = 2,
+    pos_tol: float = 0.25,
+):
+    """LOGOS-style local geometric support verification (matchLOGOS,
+    xfeatures2d.hpp:1271, logos/ lib): a tentative match survives when at
+    least `min_support` of its k nearest neighbors in image 1 map to
+    points whose RELATIVE displacement in image 2 matches the relative
+    displacement in image 1 (scale-normalized within pos_tol).
+
+    Batched: the kNN graph is one distance matrix + top_k; the support
+    test is a (Q, k) tensor expression.
+    """
+    Q = xy1.shape[0]
+    d1 = ((xy1[:, None] - xy1[None]) ** 2).sum(-1)
+    d1 = d1 + jnp.where(matches.valid[None], 0.0, jnp.inf) + jnp.eye(Q) * jnp.inf
+    _, nbr = jax.lax.top_k(-d1, k)  # (Q, k) neighbor indices in image 1
+
+    p2 = xy2[matches.train_idx]  # (Q, 2) matched positions in image 2
+    rel1 = xy1[nbr] - xy1[:, None]  # (Q, k, 2)
+    rel2 = p2[nbr] - p2[:, None]
+    n1 = jnp.linalg.norm(rel1, axis=-1) + 1e-6
+    n2 = jnp.linalg.norm(rel2, axis=-1) + 1e-6
+    # local scale estimate: median neighbor length ratio per query
+    ratio = n2 / n1
+    med = jnp.median(ratio, axis=1, keepdims=True)
+    consistent = (
+        matches.valid[nbr]
+        & (jnp.linalg.norm(rel2 - rel1 * med[..., None], axis=-1) < pos_tol * n2)
+    )
+    support = consistent.sum(1)
+    ok = matches.valid & (support >= min_support)
+    return matches._replace(valid=ok)

@@ -13,4 +13,9 @@ from opencv_contrib_tpu.mcc.ccm import (
     color_correction_model,
 )
 
-__all__ = ["MACBETH_SRGB", "fit_ccm", "apply_ccm", "color_correction_model"]
+from opencv_contrib_tpu.mcc.detector import detect_and_fit_ccm, detect_chart, find_chart_cells
+
+__all__ = [
+    "MACBETH_SRGB", "fit_ccm", "apply_ccm", "color_correction_model",
+    "detect_and_fit_ccm", "detect_chart", "find_chart_cells",
+]
