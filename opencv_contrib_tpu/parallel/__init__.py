@@ -13,9 +13,14 @@ layer is designed fresh, TPU-native:
   of images and descriptor blocks travel the ring via ppermute — the
   ring-attention-like sweep replacing the reference's quadratic
   single-process loop (nRobustViewMatching.cc:154).
+- submap_shard: map blocks (LargeKinFu submaps) assigned to shards;
+  boundary-constraint Gauss-Newton with psum'd 6x6 block systems —
+  ICI carries 6 floats per submap, not the point sets.
+- checkpoint: orbax-backed (npz fallback) pytree checkpointing of
+  distributed SLAM/SfM state for preemptible pods (SURVEY §5.4).
 - multihost: jax.distributed initialization helpers for pod slices.
 """
 
-from opencv_contrib_tpu.parallel import mesh, dist_ba, ring_match, dist_sfm
+from opencv_contrib_tpu.parallel import checkpoint, dist_ba, dist_sfm, mesh, ring_match, submap_shard
 
-__all__ = ["mesh", "dist_ba", "ring_match", "dist_sfm"]
+__all__ = ["checkpoint", "dist_ba", "dist_sfm", "mesh", "ring_match", "submap_shard"]

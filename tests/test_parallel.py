@@ -126,3 +126,66 @@ class TestDistSfm:
         rep = dist_sfm.scaling_report(_problem(), mesh8, n_iters=3, repeats=1)
         assert set(rep) == {"t_single_s", "t_sharded_s", "n_devices", "speedup", "efficiency"}
         assert rep["n_devices"] == 8
+
+
+class TestCheckpoint:
+    def test_pytree_roundtrip_npz(self, tmp_path):
+        from opencv_contrib_tpu.parallel import checkpoint as cp
+
+        tree = {"a": jnp.arange(12.0).reshape(3, 4), "b": {"c": jnp.ones(5)}}
+        p = cp.save_pytree(str(tmp_path / "ck"), tree, use_orbax=False)
+        like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+        out = cp.restore_pytree(p, like, use_orbax=False)
+        np.testing.assert_allclose(np.asarray(out["a"]), np.arange(12).reshape(3, 4))
+        np.testing.assert_allclose(np.asarray(out["b"]["c"]), 1.0)
+
+    def test_orbax_roundtrip(self, tmp_path):
+        from opencv_contrib_tpu.parallel import checkpoint as cp
+
+        if not cp._HAS_ORBAX:
+            import pytest
+
+            pytest.skip("orbax not available")
+        tree = {"vol": jnp.arange(8.0), "T": jnp.eye(4)}
+        p = cp.save_pytree(str(tmp_path / "ck_orbax"), tree)
+        like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+        out = cp.restore_pytree(p, like)
+        np.testing.assert_allclose(np.asarray(out["vol"]), np.arange(8.0))
+
+
+class TestSubmapShard:
+    def test_sharded_gn_aligns_submaps(self):
+        from opencv_contrib_tpu.core import se3
+        from opencv_contrib_tpu.parallel import mesh as mesh_mod
+        from opencv_contrib_tpu.parallel.submap_shard import optimize_submaps
+
+        mesh = mesh_mod.make_mesh(n_dp=1, n_sp=8)
+        rng = np.random.default_rng(0)
+        S, M = 8, 32
+        # ground truth submap poses
+        T_true = [np.eye(4, dtype=np.float32)]
+        for s in range(1, S):
+            xi = 0.2 * rng.standard_normal(6).astype(np.float32)
+            T_true.append(np.asarray(se3.exp_se3(jnp.asarray(xi))))
+        T_true = np.stack(T_true)
+        # boundary points shared between submap s and s-1 (ring topology)
+        pts = rng.uniform(-1, 1, (S, M, 3)).astype(np.float32)
+        nbr = np.asarray([(s - 1) % S for s in range(S)], np.int32)
+        tgt = np.zeros_like(pts)
+        for s in range(S):
+            pw = pts[s] @ T_true[s, :3, :3].T + T_true[s, :3, 3]
+            Tn = np.linalg.inv(T_true[nbr[s]])
+            tgt[s] = pw @ Tn[:3, :3].T + Tn[:3, 3]
+        w = np.ones((S, M), np.float32)
+        # start from perturbed poses (submap 0 anchored at truth)
+        T0 = T_true.copy()
+        for s in range(1, S):
+            xi = 0.05 * rng.standard_normal(6).astype(np.float32)
+            T0[s] = np.asarray(se3.exp_se3(jnp.asarray(xi))) @ T0[s]
+
+        out = np.asarray(optimize_submaps(
+            jnp.asarray(T0), jnp.asarray(pts), jnp.asarray(tgt),
+            jnp.asarray(nbr), jnp.asarray(w), mesh, n_iters=25))
+        err0 = np.mean([np.linalg.norm(T0[s] - T_true[s]) for s in range(1, S)])
+        err1 = np.mean([np.linalg.norm(out[s] - T_true[s]) for s in range(1, S)])
+        assert err1 < 0.3 * err0, (err0, err1)
