@@ -10,6 +10,6 @@ the same structure as the reference's sparse solve without building the
 sparse matrix.
 """
 
-from opencv_contrib_tpu.alphamat.infoflow import info_flow
+from opencv_contrib_tpu.alphamat.infoflow import info_flow, info_flow_nonlocal
 
-__all__ = ["info_flow"]
+__all__ = ["info_flow", "info_flow_nonlocal"]

@@ -10,5 +10,6 @@ stages on image state carried frame to frame — one jitted step.
 """
 
 from opencv_contrib_tpu.bioinspired.retina import Retina, RetinaState
+from opencv_contrib_tpu.bioinspired.transient import TransientState, transient_create, transient_run
 
-__all__ = ["Retina", "RetinaState"]
+__all__ = ["Retina", "RetinaState", "TransientState", "transient_create", "transient_run"]

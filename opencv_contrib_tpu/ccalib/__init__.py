@@ -14,4 +14,9 @@ from opencv_contrib_tpu.ccalib.omnidir import (
     calibrate_xi,
 )
 
-__all__ = ["project_points_omni", "undistort_points_omni", "undistort_image_omni", "calibrate_xi"]
+from opencv_contrib_tpu.ccalib.random_pattern import find_correspondences, generate_pattern
+
+__all__ = [
+    "project_points_omni", "undistort_points_omni", "undistort_image_omni",
+    "calibrate_xi", "find_correspondences", "generate_pattern",
+]

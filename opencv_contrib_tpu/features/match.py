@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class Matches(NamedTuple):
@@ -199,3 +200,14 @@ def logos_filter(
     support = consistent.sum(1)
     ok = matches.valid & (support >= min_support)
     return matches._replace(valid=ok)
+
+
+def gms_filter_auto(matches: Matches, xy1, xy2, shape1=(480, 640), shape2=(480, 640),
+                    tau_factor: float = 6.0):
+    """GMS with the grid size derived from match density (the reference's
+    setNumberOfPoints-style adaptation): G ~ sqrt(n_matches / 4), clamped
+    to [8, 32], so each cell holds ~4 matches on average."""
+    n = int(np.asarray(jnp.sum(matches.valid)))
+    grid = int(np.clip(int(np.sqrt(max(n, 1) / 4.0)), 8, 32))
+    return gms_filter(matches, xy1, xy2, shape1=shape1, shape2=shape2,
+                      grid=grid, tau_factor=tau_factor)

@@ -12,6 +12,6 @@ host, exactly the "host control loop + device bulk kernels" split the
 reference's KinFu uses (SURVEY §3.2).
 """
 
-from opencv_contrib_tpu.sfm import tracks, pipeline
+from opencv_contrib_tpu.sfm import pairing, pipeline, tracks
 
-__all__ = ["tracks", "pipeline"]
+__all__ = ["pairing", "pipeline", "tracks"]
