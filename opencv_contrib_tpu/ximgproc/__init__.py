@@ -26,6 +26,7 @@ from opencv_contrib_tpu.ximgproc.fourier import fourier_descriptors
 from opencv_contrib_tpu.ximgproc.superpixels_x import lsc, seeds
 from opencv_contrib_tpu.ximgproc.segmentation import edge_boxes, graph_segment, selective_search
 from opencv_contrib_tpu.ximgproc.edline import ed_circles, ed_lines
+from opencv_contrib_tpu.ximgproc.hough_mser import canny, hough_circles, mser
 
 __all__ = [
     "anisotropic_diffusion",

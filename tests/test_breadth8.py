@@ -113,3 +113,78 @@ class TestNonlocalMatting:
         assert a_nl[right].mean() > 0.5
         # background stays background
         assert a_nl[:6].mean() < 0.2
+
+
+class TestTemplateMatch:
+    def test_modes_localize(self, rng):
+        from opencv_contrib_tpu.ops.template_match import match_template, min_max_loc
+
+        img = rng.uniform(0, 1, (64, 80)).astype(np.float32)
+        tm = img[20:36, 30:50].copy()
+        for method, use_max in [("ccorr_normed", True), ("sqdiff", False),
+                                ("ccoeff_normed", True), ("sqdiff_normed", False)]:
+            r = match_template(jnp.asarray(img), jnp.asarray(tm), method)
+            mn_v, mx_v, mn, mx = min_max_loc(r)
+            loc = mx if use_max else mn
+            assert loc == (20, 30), (method, loc)
+        # normalized peak is ~1
+        r = match_template(jnp.asarray(img), jnp.asarray(tm), "ccoeff_normed")
+        assert abs(float(jnp.max(r)) - 1.0) < 1e-3
+
+
+class TestCannyHoughMser:
+    def test_canny_connects_weak_chain(self):
+        from opencv_contrib_tpu.ximgproc.hough_mser import canny
+
+        # ramp edge whose magnitude decays along the edge: weak tail must
+        # survive because it connects to the strong head
+        img = np.zeros((48, 64), np.float32)
+        for x in range(64):
+            img[24:, x] = 0.15 + 0.85 * (1 - x / 63)
+        e = np.asarray(canny(jnp.asarray(img), low=0.02, high=0.3))
+        row = e[22:26]
+        assert row[:, 5:60].any(axis=0).mean() > 0.9
+
+    def test_hough_circles(self):
+        from opencv_contrib_tpu.ximgproc.hough_mser import hough_circles
+
+        yy, xx = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+        img = (((yy - 40) ** 2 + (xx - 50) ** 2) <= 14**2).astype(np.float32)
+        c = hough_circles(img, r_min=8, r_max=20, n_radii=13, top_k=3)
+        assert c.shape[0] >= 1
+        best = c[0]
+        assert abs(best[0] - 40) <= 2 and abs(best[1] - 50) <= 2
+        assert abs(best[2] - 14) <= 2
+
+    def test_mser_finds_stable_blob(self, rng):
+        from opencv_contrib_tpu.ximgproc.hough_mser import mser
+
+        img = np.full((64, 64), 0.9, np.float32)
+        img[20:40, 24:44] = 0.1  # high-contrast stable dark blob
+        img += rng.normal(0, 0.01, img.shape).astype(np.float32)
+        regions = mser(img, n_levels=16)
+        assert regions.shape[0] >= 1
+        r = regions[0]
+        assert abs(r[0] - 29.5) < 3 and abs(r[1] - 33.5) < 3
+
+
+class TestGmg:
+    def test_detects_after_init(self):
+        from opencv_contrib_tpu.bgsegm.gmg import gmg_apply, gmg_create
+        from opencv_contrib_tpu.bgsegm import synthetic_sequence
+
+        st = gmg_create((48, 48))
+        frames = list(synthetic_sequence(n_frames=40, shape=(48, 48), seed=5))
+        # init on static background (object-free frames = background only)
+        bg = np.asarray(frames[0][0]) * 0 + 0.5
+        rng = np.random.default_rng(1)
+        for i in range(22):
+            st, fg = gmg_apply(st, jnp.asarray((bg + rng.normal(0, 0.01, bg.shape)).astype(np.float32)))
+        assert not bool(np.asarray(fg).any())
+        # now a bright object appears
+        obj = bg.copy()
+        obj[10:20, 10:20] = 0.95
+        st, fg = gmg_apply(st, jnp.asarray(obj.astype(np.float32)))
+        fg = np.asarray(fg)
+        assert fg[12:18, 12:18].mean() > 0.9
+        assert fg[30:, 30:].mean() < 0.05
