@@ -46,6 +46,7 @@ from opencv_contrib_tpu import (
     quality, shape, structured_light, superres, videostab, fuzzy, ximgproc,
     face, surface_matching, ccalib, mcc, plot, line_descriptor,
     bioinspired, models, signal, alphamat, aruco,
+    text, xobjdetect, dpm, hfs, rapid, wechat_qrcode,
 )
 
 __all__ = [
@@ -86,5 +87,11 @@ __all__ = [
     "signal",
     "alphamat",
     "aruco",
+    "text",
+    "xobjdetect",
+    "dpm",
+    "hfs",
+    "rapid",
+    "wechat_qrcode",
     "__version__",
 ]

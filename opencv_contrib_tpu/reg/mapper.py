@@ -68,7 +68,7 @@ def warp_with_params(model: str, p: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarra
 
 
 @partial(jax.jit, static_argnames=("model", "iters"))
-def _register_level(model: str, p0, ref, mov, iters: int = 20):
+def _register_level(model: str, p0, ref, mov, iters: int = 20, huber_delta: float = 0.1):
     H, W = ref.shape
     y, x = grid_coords(H, W)
     cy, cx = H / 2.0, W / 2.0
@@ -83,20 +83,37 @@ def _register_level(model: str, p0, ref, mov, iters: int = 20):
 
     def body(p, _):
         r = residual(p)
+        # IRLS Huber weights: occlusions/outliers get |r|^-1 influence
+        # (the robust-loss item of the reference's Mapper gradient methods)
+        w = jnp.minimum(1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-9))
         J = jax.jacfwd(residual)(p)  # (HW, P)
-        Hm = J.T @ J + 1e-6 * jnp.eye(p.shape[0])
-        dp = jnp.linalg.solve(Hm, J.T @ r)
-        return p - dp, jnp.sum(r * r)
+        Jw = J * w[:, None]
+        Hm = Jw.T @ J + 1e-6 * jnp.eye(p.shape[0])
+        dp = jnp.linalg.solve(Hm, Jw.T @ r)
+        return p - dp, jnp.sum(w * r * r)
 
     p, costs = jax.lax.scan(body, p0, None, length=iters)
     return p, costs[-1]
 
 
-def register_pyramid(ref, mov, model: str = "affine", levels: int = 3, iters: int = 20):
+def register_pyramid(ref, mov, model: str = "affine", levels: int | None = 3,
+                     iters: int = 20, expected_motion_px: float | None = None):
     """Coarse-to-fine registration (MapperPyramid contract). Returns params p
-    such that warp_with_params(model, p, mov) ~= ref."""
+    such that warp_with_params(model, p, mov) ~= ref.
+
+    levels=None picks the depth automatically: deep enough that the
+    expected motion shrinks below ~2 px at the coarsest level (the
+    "scale pyramid depth with expected motion" rule), bounded by image
+    size."""
     ref = jnp.asarray(ref, jnp.float32)
     mov = jnp.asarray(mov, jnp.float32)
+    if levels is None:
+        import math
+
+        motion = expected_motion_px if expected_motion_px is not None else 0.05 * min(ref.shape)
+        need = max(1, int(math.ceil(math.log2(max(motion, 1.0) / 2.0))) + 1)
+        cap = max(1, int(math.log2(min(ref.shape) / 16)))
+        levels = int(min(max(need, 2), cap))
     pr = pyramid.build_pyramid(ref, levels)
     pm = pyramid.build_pyramid(mov, levels)
     p = jnp.zeros(_n_params(model), jnp.float32)

@@ -32,6 +32,8 @@ def btv_l1(
     lam: float = 2e-3,
     ref_index: int | None = None,
     flows=None,
+    mu: float = 1e-4,
+    outer_iters: int = 1,
 ):
     """Fuse low-res frames (list of (H, W)) into a (scale*H, scale*W) frame.
 
@@ -86,8 +88,11 @@ def btv_l1(
     ]
 
     def A(hr):
-        """Normal operator: sum_f W'D'DW + lam * (-lap)."""
-        out = lam * smooth_grad(hr)
+        """Normal operator: sum_f W'D'DW + lam*(-lap) + mu*I. The ridge mu
+        pins the box-downsample kernel's null space (HR frequencies that
+        alias to identical LR pixels) — the "spectral regularization"
+        closing the estimated-flow gap."""
+        out = lam * smooth_grad(hr) + mu * hr
         for (sy, sx), adj in zip(coords, adjoints):
             (back,) = adj(fwd_one(hr, sy, sx))
             out = out + back
@@ -117,4 +122,18 @@ def btv_l1(
         (xk, _, _, _), _ = jax.lax.scan(body, (x0, r0, r0, jnp.vdot(r0, r0)), None, length=n_iters)
         return xk
 
-    return jnp.clip(cg(x0, b), 0.0, 1.0)
+    out = jnp.clip(cg(x0, b), 0.0, 1.0)
+    # joint flow refinement (the reference's iterative BTV loop re-runs
+    # flow against the improving estimate): re-estimate each frame's flow
+    # against the SHARPER reconstruction projected to LR, then re-solve
+    for _ in range(max(outer_iters - 1, 0)):
+        ref_lr = out.reshape(H, scale, W, scale).mean(axis=(1, 3))
+        new_flows = []
+        for i, f in enumerate(frames):
+            if i == ref_index:
+                new_flows.append(jnp.zeros((H, W, 2)))
+            else:
+                new_flows.append(dis.compute(f, ref_lr, levels=3, use_variational=True))
+        out = btv_l1(frames, scale=scale, n_iters=n_iters, lam=lam,
+                     ref_index=ref_index, flows=new_flows, mu=mu, outer_iters=1)
+    return out

@@ -188,3 +188,18 @@ class TestGmg:
         fg = np.asarray(fg)
         assert fg[12:18, 12:18].mean() > 0.9
         assert fg[30:, 30:].mean() < 0.05
+
+
+class TestRegRobust:
+    def test_huber_ignores_occlusion(self, rng):
+        from opencv_contrib_tpu.reg.mapper import register_pyramid, warp_with_params
+        from opencv_contrib_tpu.ops import filters
+
+        base = np.asarray(filters.gaussian_blur(
+            jnp.asarray(rng.uniform(0, 1, (64, 64)).astype(np.float32)), 1.5))
+        mov = np.roll(base, (3, -2), (0, 1))
+        ref = base.copy()
+        ref[40:56, 40:56] = 1.0  # occluder in the reference only
+        p = register_pyramid(jnp.asarray(ref), jnp.asarray(mov), model="shift", levels=None)
+        # recovered shift close to truth despite the occluder
+        assert abs(float(p[0]) - 3) < 0.5 and abs(float(p[1]) + 2) < 0.5
