@@ -10,11 +10,16 @@ cudafeatures2d/src/cuda/bf_match.cu).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# optional device profile capture (ROADMAP "jax.profiler trace capture in
+# bench"): BENCH_PROFILE=/path/to/logdir wraps the timed section in a trace
+_PROFILE_DIR = os.environ.get("BENCH_PROFILE")
 
 
 def _bench(f, q, t, n=100, repeats=2):
@@ -57,8 +62,12 @@ def main():
         neg, idx = jax.lax.top_k(-d, 2)
         return -neg, idx[:, 0]
 
+    if _PROFILE_DIR:
+        jax.profiler.start_trace(_PROFILE_DIR)
     t_pallas = _bench(pm.knn2, q, t)
     t_xla = _bench(xla_version, q, t)
+    if _PROFILE_DIR:
+        jax.profiler.stop_trace()
 
     pairs_per_s = n_query * n_train / t_pallas
     print(

@@ -59,15 +59,18 @@ def ring_all_pairs_match(descs, valids, mesh: Mesh, ratio: float = 0.8):
         def step(carry, s):
             vis_d, vis_v, outs = carry
             src = (my - s) % n_sp  # which shard's block is visiting
+            # DOUBLE BUFFERING: issue the ring transfer of the NEXT visitor
+            # BEFORE matching the current one — the ppermute has no data
+            # dependency on the match, so XLA's latency-hiding scheduler
+            # overlaps ICI transfer with the MXU matmuls
+            nxt_d = jax.lax.ppermute(vis_d, "sp", [(k, (k + 1) % n_sp) for k in range(n_sp)])
+            nxt_v = jax.lax.ppermute(vis_v, "sp", [(k, (k + 1) % n_sp) for k in range(n_sp)])
             idx, dist, ok = _pair_match_block(d_block, v_block, vis_d, vis_v, ratio)
             outs_idx, outs_dist, outs_ok = outs
             outs_idx = _dyn_set(outs_idx, idx, src, B)
             outs_dist = _dyn_set(outs_dist, dist, src, B)
             outs_ok = _dyn_set(outs_ok, ok, src, B)
-            # pass visitor to the next shard in the ring
-            vis_d = jax.lax.ppermute(vis_d, "sp", [(k, (k + 1) % n_sp) for k in range(n_sp)])
-            vis_v = jax.lax.ppermute(vis_v, "sp", [(k, (k + 1) % n_sp) for k in range(n_sp)])
-            return (vis_d, vis_v, (outs_idx, outs_dist, outs_ok)), None
+            return (nxt_d, nxt_v, (outs_idx, outs_dist, outs_ok)), None
 
         N = B * n_sp
         outs0 = (
