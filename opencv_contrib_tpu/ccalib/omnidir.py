@@ -96,3 +96,115 @@ def calibrate_xi(obj_pts, img_pts, K, R, t, xi0: float = 0.8, iters: int = 30):
         return xi - jnp.clip(step, -0.2, 0.2)
 
     return jax.lax.fori_loop(0, iters, body, jnp.asarray(xi0))
+
+
+def calibrate_omni(obj_pts_list, img_pts_list, image_size, K0=None, xi0: float = 0.8,
+                   outer_iters: int = 30, pose_iters: int = 8, fix_xi: bool = False):
+    """Full joint omnidirectional calibration (omnidir::calibrate,
+    ccalib/include/opencv2/ccalib/omnidir.hpp:176): ONE joint
+    Levenberg-Marquardt over all per-view poses plus (fx, fy, cx, cy, xi)
+    — at ~6V+5 parameters the full dense system is tiny, so the
+    reference's alternating schedule is unnecessary on TPU.
+
+    obj_pts_list: list of (N_v, 3) board points; img_pts_list: matching
+    (N_v, 2) pixels. Returns (K, xi, Rs, ts, rms_px).
+
+    Identifiability note (shared with the reference): with planar boards of
+    moderate FOV, (f, xi) trade off to noise level — the fit is excellent
+    but the split is weakly determined. Pass fix_xi=True when the mirror
+    parameter is known (then K is well determined).
+    """
+    import numpy as np
+
+    from opencv_contrib_tpu.core import se3 as s3
+    from opencv_contrib_tpu.mvg import resection as rmod
+
+    H, W = image_size
+    V = len(obj_pts_list)
+    objs = [jnp.asarray(o, jnp.float32) for o in obj_pts_list]
+    imgs = [jnp.asarray(i, jnp.float32) for i in img_pts_list]
+    xi = jnp.asarray(xi0, jnp.float32)
+    n_pose = 6 * V
+
+    def init_theta(K):
+        # init poses: undistort pixels with (K, xi0) to pinhole normalized
+        # coords, then PnP resection per view
+        poses = []
+        for o, ip in zip(objs, imgs):
+            ray = undistort_points_omni(ip, K, float(xi))
+            xn = ray[:, :2] / jnp.maximum(ray[:, 2:3], 1e-6)
+            R0, t0, _ = rmod.resect(o, xn)
+            poses.append(jnp.concatenate([s3.log_so3(R0), t0]))
+        return jnp.concatenate(
+            [jnp.concatenate(poses), jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2], xi])])
+
+    if K0 is not None:
+        theta0s = [init_theta(jnp.asarray(K0, jnp.float32))]
+    else:
+        # focal-candidate search (the reference initializes f from board
+        # geometry; a small grid is robust across FOVs)
+        theta0s = []
+        for fs in (0.5, 0.8, 1.2, 1.8):
+            f0 = fs * max(H, W)
+            Kc = jnp.asarray([[f0, 0, W / 2], [0, f0, H / 2], [0, 0, 1]], jnp.float32)
+            theta0s.append(init_theta(Kc))
+
+    def residual(theta):
+        Kt = jnp.asarray([[theta[n_pose], 0, theta[n_pose + 2]],
+                          [0, theta[n_pose + 1], theta[n_pose + 3]],
+                          [0, 0, 1.0]])
+        xit = theta[n_pose + 4]
+        rs = []
+        for v, (o, ip) in enumerate(zip(objs, imgs)):
+            pv = theta[6 * v : 6 * v + 6]
+            R = s3.exp_so3(pv[:3])
+            rs.append((project_points_omni(o, R, pv[3:], Kt, xit) - ip).reshape(-1))
+        return jnp.concatenate(rs)
+
+    @jax.jit
+    def lm(theta0):
+        def step(carry, _):
+            theta, lam = carry
+            r = residual(theta)
+            J = jax.jacfwd(residual)(theta)
+            if fix_xi:
+                J = J.at[:, n_pose + 4].set(0.0)
+            JtJ = J.T @ J
+            D = jnp.diag(jnp.maximum(jnp.diag(JtJ), 1e-6))
+            dd = jnp.linalg.solve(JtJ + lam * D, J.T @ r)
+            cand = theta - dd
+            # box constraints: xi in [0, 1.2] (unified sphere range), focal
+            # and principal point within sane image-scaled bounds — keeps
+            # LM off the degenerate large-xi branch of the ambiguity family
+            fmax = 4.0 * max(H, W)
+            cand = cand.at[n_pose].set(jnp.clip(cand[n_pose], 0.1 * max(H, W), fmax))
+            cand = cand.at[n_pose + 1].set(jnp.clip(cand[n_pose + 1], 0.1 * max(H, W), fmax))
+            cand = cand.at[n_pose + 2].set(jnp.clip(cand[n_pose + 2], 0.0, W))
+            cand = cand.at[n_pose + 3].set(jnp.clip(cand[n_pose + 3], 0.0, H))
+            cand = cand.at[n_pose + 4].set(jnp.clip(cand[n_pose + 4], 0.0, 1.2))
+            c_old = jnp.sum(r * r)
+            c_new = jnp.sum(residual(cand) ** 2)
+            ok = c_new < c_old
+            theta = jnp.where(ok, cand, theta)
+            lam = jnp.where(ok, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 4.0, 1e6))
+            return (theta, lam), None
+
+        (theta, _), _ = jax.lax.scan(step, (theta0, jnp.float32(1e-3)), None, length=outer_iters)
+        return theta
+
+    best = None
+    for th0 in theta0s:
+        th = lm(th0)
+        c = float(jnp.sum(residual(th) ** 2))
+        if best is None or c < best[0]:
+            best = (c, th)
+    theta = best[1]
+    Kf = np.array([[float(theta[n_pose]), 0, float(theta[n_pose + 2])],
+                   [0, float(theta[n_pose + 1]), float(theta[n_pose + 3])],
+                   [0, 0, 1.0]], np.float32)
+    xif = float(theta[n_pose + 4])
+    Rs = [np.asarray(s3.exp_so3(theta[6 * v : 6 * v + 3])) for v in range(V)]
+    ts = [np.asarray(theta[6 * v + 3 : 6 * v + 6]) for v in range(V)]
+    r = residual(theta)
+    rms = float(jnp.sqrt(jnp.mean(r * r)))
+    return Kf, xif, Rs, ts, rms

@@ -203,3 +203,37 @@ class TestRegRobust:
         p = register_pyramid(jnp.asarray(ref), jnp.asarray(mov), model="shift", levels=None)
         # recovered shift close to truth despite the occluder
         assert abs(float(p[0]) - 3) < 0.5 and abs(float(p[1]) + 2) < 0.5
+
+
+class TestOmniCalibrate:
+    def test_joint_calibration_recovers_parameters(self, rng):
+        from opencv_contrib_tpu.ccalib.omnidir import calibrate_omni, project_points_omni
+        from opencv_contrib_tpu.core import se3
+
+        K_true = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32)
+        xi_true = 0.9
+        # WIDE-ANGLE board views: the unified model's (f, xi) pair is only
+        # identifiable when the board subtends a large angle (the same
+        # degeneracy omnidir::calibrate documents) — 0.08 m pitch at ~0.35 m
+        gy, gx = np.meshgrid(np.arange(6), np.arange(8), indexing="ij")
+        board = np.stack([gx.ravel() * 0.08, gy.ravel() * 0.08, np.zeros(48)], 1).astype(np.float32)
+        board -= board.mean(0)
+        objs, imgs = [], []
+        for i in range(6):
+            w = 0.3 * rng.standard_normal(3).astype(np.float32)
+            R = np.asarray(se3.exp_so3(jnp.asarray(w)))
+            t = np.array([0.02, -0.01, 0.0], np.float32) + 0.08 * rng.standard_normal(3).astype(np.float32)
+            t[2] = abs(t[2]) + 0.3
+            px = np.asarray(project_points_omni(jnp.asarray(board), jnp.asarray(R), jnp.asarray(t),
+                                                jnp.asarray(K_true), xi_true))
+            objs.append(board)
+            imgs.append(px + 0.1 * rng.standard_normal(px.shape).astype(np.float32))
+        K, xi, Rs, ts, rms = calibrate_omni(objs, imgs, (240, 320), outer_iters=60)
+        assert rms < 0.3, rms
+        assert abs(K[0, 0] - 300) / 300 < 0.05, K
+        assert abs(xi - xi_true) < 0.1, xi
+        # with xi known (fix_xi), same quality
+        K2, xi2, _, _, rms2 = calibrate_omni(objs, imgs, (240, 320), xi0=xi_true,
+                                             outer_iters=60, fix_xi=True)
+        assert rms2 < 0.3 and abs(K2[0, 0] - 300) / 300 < 0.05
+        assert abs(xi2 - xi_true) < 1e-6
