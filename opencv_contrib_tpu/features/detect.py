@@ -280,7 +280,7 @@ def harris(
     y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     flat_r = jnp.where(is_max, resp, -jnp.inf).reshape(-1)
-    top_r, top_i = jax.lax.top_k(flat_r, max_keypoints)
+    top_r, top_i = _topk_2stage(flat_r, max_keypoints)  # global top_k sorts HW
     valid = jnp.isfinite(top_r)
     return Keypoints(
         y=jnp.where(valid, y.reshape(-1)[top_i], 0.0),
@@ -333,7 +333,7 @@ def fast_corners(
     x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     inside = (y >= 3) & (y < H - 3) & (x >= 3) & (x < W - 3)
     resp = jnp.where(inside, resp, -jnp.inf)
-    top_r, top_i = jax.lax.top_k(resp.reshape(-1), max_keypoints)
+    top_r, top_i = _topk_2stage(resp.reshape(-1), max_keypoints)
     valid = jnp.isfinite(top_r)
     return Keypoints(
         y=jnp.where(valid, y.reshape(-1)[top_i], 0.0),

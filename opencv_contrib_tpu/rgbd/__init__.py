@@ -12,6 +12,7 @@ Mat/UMat split, kinfu.cpp:197-229).
 
 from opencv_contrib_tpu.rgbd import (
     colored_tsdf,
+    dynafu,
     depth_utils,
     frame,
     hash_tsdf,
@@ -26,6 +27,6 @@ from opencv_contrib_tpu.rgbd import (
 )
 
 __all__ = [
-    "colored_tsdf", "depth_utils", "frame", "hash_tsdf", "icp", "kinfu",
+    "colored_tsdf", "depth_utils", "dynafu", "frame", "hash_tsdf", "icp", "kinfu",
     "linemod", "odometry", "posegraph", "submap", "tsdf", "warpfield",
 ]

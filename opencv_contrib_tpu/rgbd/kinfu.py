@@ -29,6 +29,7 @@ from opencv_contrib_tpu.rgbd import frame as frame_mod
 from opencv_contrib_tpu.rgbd import icp as icp_mod
 from opencv_contrib_tpu.rgbd import tsdf as tsdf_mod
 from opencv_contrib_tpu.rgbd.frame import DepthFrame
+from opencv_contrib_tpu.utils.tracing import trace_span
 
 
 @dataclass
@@ -146,12 +147,14 @@ class KinFu:
         on-device."""
         depth = jnp.asarray(depth, jnp.float32)
         if self.frame_count == 0:
-            self.volume, self.model_pyr = self._first_fn(self.volume, self.T_cw, depth)
+            with trace_span("kinfu.first_frame"):
+                self.volume, self.model_pyr = self._first_fn(self.volume, self.T_cw, depth)
             self.frame_count = 1
             self.last_ok = jnp.asarray(True)
             return True
-        self.volume, self.T_cw, self.model_pyr, ok, err = self._tick_fn(
-            self.volume, self.T_cw, self.model_pyr, depth)
+        with trace_span("kinfu.tick"):
+            self.volume, self.T_cw, self.model_pyr, ok, err = self._tick_fn(
+                self.volume, self.T_cw, self.model_pyr, depth)
         self.frame_count += 1
         self.last_ok = ok
         return bool(ok) if sync else True

@@ -27,6 +27,7 @@ from opencv_contrib_tpu.core import camera as cam
 from opencv_contrib_tpu.core import se3
 from opencv_contrib_tpu.mvg import fundamental, homography, resection, robust, triangulation
 from opencv_contrib_tpu.sfm.tracks import TracksTensor
+from opencv_contrib_tpu.utils.tracing import trace_span
 
 
 @dataclass
@@ -236,22 +237,28 @@ def reconstruct_incremental(
     if init_pair is None:
         init_pair = select_init_pair(tracks)
     i, j = init_pair
-    rec = initialize_two_view(tracks, intr, i, j, key)
-    _run_bundle(rec, tracks)
+    with trace_span("sfm.init_two_view"):
+        rec = initialize_two_view(tracks, intr, i, j, key)
+        _run_bundle(rec, tracks)
 
     for round_idx in range(max_rounds):
         key, k1 = jax.random.split(key)
-        n_pts = _intersect_new_tracks(rec, tracks)
+        with trace_span("sfm.intersect"):
+            n_pts = _intersect_new_tracks(rec, tracks)
         if n_pts:
-            _run_bundle(rec, tracks)
-        n_views = _resect_new_views(rec, tracks, key=k1)
+            with trace_span("sfm.bundle"):
+                _run_bundle(rec, tracks)
+        with trace_span("sfm.resect"):
+            n_views = _resect_new_views(rec, tracks, key=k1)
         if n_views:
-            _run_bundle(rec, tracks)
+            with trace_span("sfm.bundle"):
+                _run_bundle(rec, tracks)
         rec.log.append(("round", round_idx, n_pts, n_views))
         if n_pts == 0 and n_views == 0:
             break
 
-    if refine_intrinsics:
-        _run_bundle(rec, tracks, n_iters=15, optimize_intr=True)
-    _run_bundle(rec, tracks, n_iters=15)
+    with trace_span("sfm.final_bundle"):
+        if refine_intrinsics:
+            _run_bundle(rec, tracks, n_iters=15, optimize_intr=True)
+        _run_bundle(rec, tracks, n_iters=15)
     return rec

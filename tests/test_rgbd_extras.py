@@ -149,3 +149,33 @@ class TestWarpField:
         err0 = np.linalg.norm(src - tgt, axis=1).mean()
         err1 = np.linalg.norm(warped - tgt, axis=1).mean()
         assert err1 < 0.3 * err0
+
+
+class TestDynaFu:
+    def test_tracks_deforming_scene(self):
+        from opencv_contrib_tpu.rgbd.dynafu import DynaFu
+
+        H, W = 60, 80
+        intr = np.array([70.0, 70.0, 40.0, 30.0], np.float32)
+        yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+
+        def frame(t):
+            # plane at z=1.5 with a bump whose height grows over time
+            bump = 0.2 * t * np.exp(-((yy - 30) ** 2 + (xx - 40) ** 2) / (2 * 8.0**2))
+            return (1.5 - bump).astype(np.float32)
+
+        df = DynaFu(intr, frame_shape=(H, W), n_nodes=32, node_sigma=0.3,
+                    volume_resolution=(64, 64, 64), volume_size=2.0,
+                    volume_center=(0.0, 0.0, 1.2))
+        oks = []
+        for t in np.linspace(0.0, 1.0, 5):
+            oks.append(df.update(jnp.asarray(frame(t))))
+        assert all(oks), oks
+        # warp field learned a forward (negative z) deformation at the bump
+        warped, cvalid = df.render_live()
+        w = np.asarray(warped)
+        v = np.asarray(cvalid)
+        center = w[26:34, 36:44, 2][v[26:34, 36:44]]
+        rim = w[5:15, 5:15, 2][v[5:15, 5:15]]
+        assert center.size and rim.size
+        assert center.mean() < rim.mean() - 0.05  # bump pulled toward camera
