@@ -10,6 +10,11 @@ Usage:
         python samples/distributed_ba_demo.py [n_views n_points]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -9,6 +9,11 @@ Usage:
     python samples/kinfu_demo.py [tum_sequence_dir] [n_frames]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

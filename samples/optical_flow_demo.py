@@ -7,6 +7,11 @@ Usage:
     python samples/optical_flow_demo.py [img1 img2 [gt.flo]]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -9,6 +9,11 @@ Usage:
     python samples/scene_reconstruction.py [image_dir f cx cy] [out.ply]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np
