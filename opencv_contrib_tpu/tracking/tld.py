@@ -93,15 +93,12 @@ def _scan_grid(box: Box, H, W, n_scales: int = 3, stride_frac: float = 0.25):
     for s in range(n_scales):
         scale = 1.2 ** (s - n_scales // 2)
         hw = box.size * scale
-        sy = jnp.maximum(hw[0] * stride_frac, 2.0)
-        sx = jnp.maximum(hw[1] * stride_frac, 2.0)
         ny, nx = 12, 12  # static count; cover frame uniformly
         cy = jnp.linspace(0.0, 1.0, ny) * (H - 1)
         cx = jnp.linspace(0.0, 1.0, nx) * (W - 1)
         g = jnp.stack(jnp.meshgrid(cy, cx, indexing="ij"), axis=-1).reshape(-1, 2)
         centers.append(g)
         sizes.append(jnp.broadcast_to(hw[None], (g.shape[0], 2)))
-        del sy, sx
     return jnp.concatenate(centers), jnp.concatenate(sizes)
 
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 def inpaint_diffusion(img: jnp.ndarray, mask: jnp.ndarray, iters: int = 200) -> jnp.ndarray:
     """img (H, W[, C]); mask True where pixels are MISSING."""
     m = mask[..., None] if img.ndim == 3 else mask
-    init = jnp.where(m, jnp.mean(img, where=~m) if False else 0.5, img)
+    init = jnp.where(m, 0.5, img)
 
     def body(x, _):
         nb = (
