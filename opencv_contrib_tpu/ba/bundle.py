@@ -298,6 +298,12 @@ def bundle_adjust(
     # (10.0 vs 8.2 iters/s at 512x8192). PCG avoids materializing the
     # (6C)^2 reduced system, which only matters past ~1k cameras.
     C_ = problem.obs.shape[0]
+    if solver == "pcg" and optimize_intr:
+        # _solve_schur_pcg has no intrinsics block — a silent zero update
+        # every iteration would never optimize intrinsics
+        raise ValueError(
+            "solver='pcg' does not support optimize_intr=True; "
+            "use solver='schur' (or 'auto')")
     use_pcg = (solver == "pcg") or (solver == "auto" and C_ > 1024 and not optimize_intr)
 
     def lm_step(carry, _):

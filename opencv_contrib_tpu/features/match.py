@@ -182,20 +182,35 @@ def logos_filter(
     """
     Q = xy1.shape[0]
     d1 = ((xy1[:, None] - xy1[None]) ** 2).sum(-1)
-    d1 = d1 + jnp.where(matches.valid[None], 0.0, jnp.inf) + jnp.eye(Q) * jnp.inf
+    # mask self and invalid columns with where (adding eye*inf would put
+    # 0*inf = NaN off-diagonal and poison the whole kNN graph)
+    exclude = jnp.eye(Q, dtype=bool) | ~matches.valid[None]
+    d1 = jnp.where(exclude, jnp.inf, d1)
     _, nbr = jax.lax.top_k(-d1, k)  # (Q, k) neighbor indices in image 1
 
     p2 = xy2[matches.train_idx]  # (Q, 2) matched positions in image 2
     rel1 = xy1[nbr] - xy1[:, None]  # (Q, k, 2)
     rel2 = p2[nbr] - p2[:, None]
-    n1 = jnp.linalg.norm(rel1, axis=-1) + 1e-6
-    n2 = jnp.linalg.norm(rel2, axis=-1) + 1e-6
-    # local scale estimate: median neighbor length ratio per query
-    ratio = n2 / n1
-    med = jnp.median(ratio, axis=1, keepdims=True)
+    # Per-neighbor local SIMILARITY estimate as a complex ratio
+    # z2/z1 = (scale, rotation): invariant to local rotation + scale, so
+    # pure-rotation scenes of true inliers keep full support. A neighbor
+    # supports the match when its ratio agrees with the per-query median.
+    n1sq = jnp.maximum((rel1 * rel1).sum(-1), 1e-12)
+    re = (rel2[..., 0] * rel1[..., 0] + rel2[..., 1] * rel1[..., 1]) / n1sq
+    im = (rel2[..., 1] * rel1[..., 0] - rel2[..., 0] * rel1[..., 1]) / n1sq
+    med_re = jnp.median(re, axis=1)  # (Q,)
+    med_im = jnp.median(im, axis=1)
+    med_mag = jnp.maximum(jnp.sqrt(med_re**2 + med_im**2), 1e-6)
+    # A neighbor supports the match only when the pair ratio agrees with
+    # BOTH endpoints' local medians: a corrupted query inflates its own
+    # median (making a query-only test vacuous), but its neighbors'
+    # medians stay honest and reject it.
+    dev_q = jnp.sqrt((re - med_re[:, None]) ** 2 + (im - med_im[:, None]) ** 2)
+    dev_n = jnp.sqrt((re - med_re[nbr]) ** 2 + (im - med_im[nbr]) ** 2)
     consistent = (
         matches.valid[nbr]
-        & (jnp.linalg.norm(rel2 - rel1 * med[..., None], axis=-1) < pos_tol * n2)
+        & (dev_q < pos_tol * med_mag[:, None])
+        & (dev_n < pos_tol * med_mag[nbr])
     )
     support = consistent.sum(1)
     ok = matches.valid & (support >= min_support)

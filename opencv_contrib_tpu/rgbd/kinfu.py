@@ -63,8 +63,9 @@ class KinFuParams:
         )
 
 
-def _raycast_pyramid(volume, intr, T_cw, shape, levels, depth_max):
-    pts, nrm, valid = tsdf_mod.raycast(volume, intr, T_cw, shape=shape, depth_max=depth_max)
+def _raycast_pyramid(volume, intr, T_cw, shape, levels, depth_max, n_coarse=None):
+    pts, nrm, valid = tsdf_mod.raycast(volume, intr, T_cw, shape=shape,
+                                       depth_max=depth_max, n_coarse=n_coarse)
     frames = []
     p_l, n_l, v_l = pts, nrm, valid
     depth_l = p_l[..., 2]
@@ -83,6 +84,11 @@ class KinFu:
     def __init__(self, params: KinFuParams):
         self.p = params
         p = params
+        # coarse raycast step must stay below trunc_dist (5*voxel_size by
+        # default) or thin surfaces are skipped; derived here because the
+        # fused tick traces raycast with a non-concrete volume
+        trunc = 5.0 * p.volume_size / p.volume_resolution[0]
+        n_coarse = tsdf_mod.coarse_steps_for(trunc, 0.1, p.depth_max)
 
         @jax.jit
         def _first(volume, T_cw, depth):
@@ -92,7 +98,7 @@ class KinFu:
                 volume, pyr[0].depth, intr, T_cw,
                 max_weight=p.tsdf_max_weight, depth_max=p.depth_max)
             model = _raycast_pyramid(volume, intr, T_cw, p.frame_shape,
-                                     p.pyramid_levels, p.depth_max)
+                                     p.pyramid_levels, p.depth_max, n_coarse)
             return volume, model
 
         @jax.jit
@@ -114,7 +120,7 @@ class KinFu:
                 tsdf=jnp.where(do_int, vol2.tsdf, volume.tsdf),
                 weight=jnp.where(do_int, vol2.weight, volume.weight))
             model_new = _raycast_pyramid(volume, intr, T_cw_new, p.frame_shape,
-                                         p.pyramid_levels, p.depth_max)
+                                         p.pyramid_levels, p.depth_max, n_coarse)
             model = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, a, b), model_new, model_pyr)
             return volume, T_cw_new, model, ok, err

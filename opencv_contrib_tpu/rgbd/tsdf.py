@@ -95,17 +95,25 @@ def integrate(
     d_c = depth - dmean
     vic = jnp.clip(vi, 0, H - 1)
     uic = jnp.clip(ui, 0, W - 1)
+    # Carry an exact 0/1 validity channel through the same lookup so
+    # depth==0 (invalid) pixels can't round to a positive depth and pass
+    # the gate; matmuls run at HIGHEST precision (fp32 accumulate) —
+    # default TPU precision rounds inputs to bf16, mm-scale depth error.
+    d_and_valid = jnp.concatenate([d_c, (depth > 0).astype(jnp.float32)], axis=1)  # (H, 2W)
 
     def slice_lookup(_, idx):
         vs, us = idx  # (Y, Z) int32
         ohv = jax.nn.one_hot(vs.reshape(-1), H, dtype=jnp.float32)
-        rows = jnp.dot(ohv, d_c, preferred_element_type=jnp.float32)  # (YZ, W)
+        rows = jnp.dot(ohv, d_and_valid, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (YZ, 2W)
         ohu = jax.nn.one_hot(us.reshape(-1), W, dtype=jnp.float32)
-        return _, (rows * ohu).sum(-1).reshape(vs.shape)
+        dep = (rows[:, :W] * ohu).sum(-1).reshape(vs.shape)
+        dok = (rows[:, W:] * ohu).sum(-1).reshape(vs.shape)
+        return _, (dep, dok)
 
-    _, d = jax.lax.scan(slice_lookup, 0, (vic, uic))
+    _, (d, dok) = jax.lax.scan(slice_lookup, 0, (vic, uic))
     d = d + dmean
-    valid = inb & (d > 0) & (d < depth_max)
+    valid = inb & (dok > 0.5) & (d > 0) & (d < depth_max)
 
     sdf = d - z
     within = valid & (sdf > -vol.trunc_dist)
@@ -190,7 +198,6 @@ def sample_gradient(vol: TSDFVolume, pts_world: jnp.ndarray) -> jnp.ndarray:
     return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
 
 
-@partial(jax.jit, static_argnames=("shape", "n_steps"))
 def raycast(
     vol: TSDFVolume,
     intr: jnp.ndarray,
@@ -199,11 +206,46 @@ def raycast(
     n_steps: int = 192,
     depth_min: float = 0.1,
     depth_max: float = 4.0,
+    n_coarse: int | None = None,
 ):
     """March all camera rays through the volume; detect the +/- zero
     crossing; linear-interpolate the hit; normals from the TSDF gradient
     (RaycastInvoker, tsdf.cpp:337). Returns (points (H,W,3) camera frame,
-    normals (H,W,3) camera frame, valid (H,W))."""
+    normals (H,W,3) camera frame, valid (H,W)).
+
+    The coarse bracketing pass must step finer than trunc_dist or thin
+    surfaces are skipped. When `vol.trunc_dist` is concrete (not under an
+    outer jit trace) `n_coarse` is derived from it automatically; callers
+    tracing this inside their own jit (e.g. the KinFu fused tick) should
+    pass `n_coarse` explicitly via `coarse_steps_for(...)`."""
+    if n_coarse is None:
+        n_coarse = min(n_steps, max(16, n_steps // 4))
+        if not isinstance(vol.trunc_dist, jax.core.Tracer):
+            need = coarse_steps_for(float(vol.trunc_dist), depth_min, depth_max)
+            n_coarse = min(n_steps, max(n_coarse, need))
+    return _raycast_impl(vol, intr, T_cw, shape, n_steps, depth_min, depth_max,
+                         int(n_coarse))
+
+
+def coarse_steps_for(trunc_dist: float, depth_min: float = 0.1,
+                     depth_max: float = 4.0) -> int:
+    """Minimum coarse raycast step count so the coarse step stays below
+    trunc_dist (the band-cannot-be-skipped invariant)."""
+    import math
+    return int(math.ceil((depth_max - depth_min) / max(trunc_dist, 1e-6))) + 1
+
+
+@partial(jax.jit, static_argnames=("shape", "n_steps", "depth_min", "depth_max", "n_coarse"))
+def _raycast_impl(
+    vol: TSDFVolume,
+    intr: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    shape,
+    n_steps: int,
+    depth_min: float,
+    depth_max: float,
+    n_coarse: int,
+):
     H, W = shape
     T_wc = se3.inverse(T_cw)
     R_wc, t_wc = se3.mat_to_rt(T_wc)
@@ -218,11 +260,10 @@ def raycast(
 
     # Coarse-to-fine sample-all-then-reduce: gathers pay per sampled point,
     # so instead of S dense steps we bracket the first +/- crossing with a
-    # COARSE pass (step < trunc_dist so the band cannot be skipped), then
-    # resample n_fine steps inside each ray's bracket. 192 dense -> 48+8
-    # cuts gather traffic ~3.4x on the hot path; both passes use NEAREST
-    # sampling (normals below use full trilinear gradients).
-    n_coarse = min(n_steps, max(16, n_steps // 4))
+    # COARSE pass (step < trunc_dist, enforced by the caller via n_coarse),
+    # then resample n_fine steps inside each ray's bracket. 192 dense ->
+    # 48+8 cuts gather traffic ~3.4x on the hot path; both passes use
+    # NEAREST sampling (normals below use full trilinear gradients).
     n_fine = 8
     dz = (depth_max - depth_min) / n_coarse
     zs = depth_min + (jnp.arange(n_coarse) + 0.5) * dz  # (C,)

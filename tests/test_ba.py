@@ -50,6 +50,13 @@ class TestBundle:
         assert float(err1) < 0.05
         assert float(res.final_cost) < float(res.initial_cost) * 1e-3
 
+    def test_pcg_rejects_optimize_intr(self, scene):
+        # regression (ADVICE r1): pcg has no intrinsics block; explicitly
+        # requesting it must raise instead of silently returning zeros
+        p = _problem_from_scene(scene)
+        with pytest.raises(ValueError, match="pcg"):
+            bundle.bundle_adjust(p, n_iters=2, solver="pcg", optimize_intr=True)
+
     def test_recovers_camera_poses(self, scene):
         p = _problem_from_scene(scene, cam_noise=0.01)
         res = bundle.bundle_adjust(p, n_iters=25)

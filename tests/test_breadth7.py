@@ -111,3 +111,45 @@ class TestLogos:
         v = np.asarray(out.valid)
         assert v[~np.isin(np.arange(N), bad)].mean() > 0.9
         assert v[bad].sum() == 0
+
+    def test_pure_rotation_inliers_kept(self):
+        # regression (ADVICE r1): eye*inf NaN'd the kNN graph and the
+        # support test was not rotation-invariant — a pure-rotation scene
+        # of 100% true inliers was rejected entirely
+        from opencv_contrib_tpu.features.match import Matches, logos_filter
+
+        rng = np.random.default_rng(1)
+        N = 60
+        xy1 = rng.uniform(10, 90, (N, 2)).astype(np.float32)
+        th = np.deg2rad(30.0)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+        xy2 = (xy1 - 50.0) @ R.T * 1.2 + 55.0  # rotation + scale + shift
+        m = Matches(
+            query_idx=jnp.arange(N, dtype=jnp.int32),
+            train_idx=jnp.arange(N, dtype=jnp.int32),
+            distance=jnp.zeros(N),
+            valid=jnp.ones(N, bool),
+        )
+        out = logos_filter(m, jnp.asarray(xy1), jnp.asarray(xy2), k=5, min_support=2)
+        assert np.asarray(out.valid).all()
+
+    def test_support_is_local(self):
+        # two well-separated clusters moving with DIFFERENT shifts: every
+        # match is locally consistent, so all must survive — fails if the
+        # kNN graph ignores geometry (the NaN'd [self, 0, 1, ...] artifact)
+        from opencv_contrib_tpu.features.match import Matches, logos_filter
+
+        rng = np.random.default_rng(2)
+        a = rng.uniform(0, 30, (20, 2)).astype(np.float32)
+        b = rng.uniform(200, 230, (20, 2)).astype(np.float32)
+        xy1 = np.concatenate([a, b])
+        xy2 = np.concatenate([a + np.array([7.0, 2.0]), b + np.array([-4.0, 9.0])]).astype(np.float32)
+        N = xy1.shape[0]
+        m = Matches(
+            query_idx=jnp.arange(N, dtype=jnp.int32),
+            train_idx=jnp.arange(N, dtype=jnp.int32),
+            distance=jnp.zeros(N),
+            valid=jnp.ones(N, bool),
+        )
+        out = logos_filter(m, jnp.asarray(xy1), jnp.asarray(xy2), k=5, min_support=2)
+        assert np.asarray(out.valid).all()

@@ -108,6 +108,60 @@ class TestTSDF:
         assert np.median(d) < 0.05
 
 
+class TestTSDFRegressions:
+    def test_invalid_depth_pixels_not_integrated(self):
+        """Regression (ADVICE r1): depth==0 pixels must never integrate —
+        the bf16 matmul lookup could round them to a small positive depth
+        passing the d > 0 gate for near-camera voxels."""
+        vol = tsdf.create((64, 64, 64), size=3.0, center=(0.0, 0.0, 1.5))
+        H, W = SHAPE
+        depth = np.full(SHAPE, 2.7, np.float32)
+        depth[:, : W // 2] = 0.0  # left half invalid
+        vol = tsdf.integrate(vol, jnp.asarray(depth), jnp.asarray(INTR), jnp.eye(4))
+        w = np.asarray(vol.weight)
+        # voxels projecting left of the principal point (u < cx) see only
+        # invalid pixels; none may carry weight (margin of 2 voxels for
+        # pixel rounding at the seam)
+        assert w[: 64 // 2 - 2].sum() == 0.0
+        # the valid half did integrate
+        assert w[64 // 2 + 2 :].sum() > 0
+
+    def test_lookup_precision_exact(self):
+        """The one-hot matmul depth lookup must reproduce depth exactly
+        (HIGHEST precision), not to bf16 (~mm error at meter scale)."""
+        vol = tsdf.create((48, 48, 48), size=2.0, center=(0.0, 0.0, 1.5))
+        rng = np.random.default_rng(3)
+        depth = rng.uniform(1.0, 3.0, SHAPE).astype(np.float32)
+        v2 = tsdf.integrate(vol, jnp.asarray(depth), jnp.asarray(INTR), jnp.eye(4))
+        # reconstruct measured depth from the fused tsdf at weight-1 voxels:
+        # tsdf = clip((d - z)/trunc) -> for |tsdf|<1, d = z + tsdf*trunc
+        t = np.asarray(v2.tsdf)
+        w = np.asarray(v2.weight)
+        X = 48
+        gi = np.stack(np.meshgrid(*[np.arange(X)] * 3, indexing="ij"), -1).astype(np.float32)
+        pw = gi * float(vol.voxel_size) + np.asarray(vol.origin)
+        z = pw[..., 2]
+        u = np.round(pw[..., 0] / z * INTR[0] + INTR[2]).astype(int)
+        v = np.round(pw[..., 1] / z * INTR[1] + INTR[3]).astype(int)
+        sel = (w > 0) & (np.abs(t) < 0.999) & (u >= 0) & (u < SHAPE[1]) & (v >= 0) & (v < SHAPE[0])
+        d_rec = z[sel] + t[sel] * float(vol.trunc_dist)
+        d_true = depth[v[sel], u[sel]]
+        assert np.abs(d_rec - d_true).max() < 1e-4, np.abs(d_rec - d_true).max()
+
+    def test_raycast_thin_band_not_skipped(self):
+        """Regression (ADVICE r1): the coarse raycast step must stay below
+        trunc_dist — with trunc 40mm < the old fixed 81mm step, a wall's
+        narrow negative band was stepped over and lost."""
+        vol = tsdf.create((96, 96, 96), size=3.0, center=(0.0, 0.0, 1.5), trunc_dist=0.04)
+        depth = np.full(SHAPE, 2.0, np.float32)
+        vol = tsdf.integrate(vol, jnp.asarray(depth), jnp.asarray(INTR), jnp.eye(4))
+        pts, nrm, valid = tsdf.raycast(vol, jnp.asarray(INTR), jnp.eye(4), shape=SHAPE)
+        v = np.asarray(valid)
+        assert v.mean() > 0.5, v.mean()
+        z = np.asarray(pts[..., 2])[v]
+        assert np.median(np.abs(z - 2.0)) < 0.03
+
+
 class TestKinFu:
     def test_orbit_tracking(self, poses, depths):
         """The reference's acceptance gate (test_kinfu.cpp:326-330):
