@@ -16,6 +16,6 @@ gathers; densification is a box-filtered weighted average; the variational
 solver is a red-black/Jacobi sweep expressed with rolls.
 """
 
-from opencv_contrib_tpu.flow import dis, gpc, lk, motempl, pcaflow, tvl1
+from opencv_contrib_tpu.flow import dis, extra, gpc, lk, motempl, pcaflow, tvl1
 
-__all__ = ["dis", "lk", "tvl1", "motempl"]
+__all__ = ["dis", "extra", "lk", "tvl1", "motempl"]
