@@ -18,13 +18,17 @@ host (as it does in the reference).
 """
 
 from opencv_contrib_tpu.tracking import (
+    boosting,
     correlation,
     csrt,
     kalman,
     matching,
     medianflow,
     mil,
+    multitracker,
     tld,
+    twist,
 )
 
-__all__ = ["correlation", "csrt", "kalman", "matching", "medianflow", "mil", "tld"]
+__all__ = ["boosting", "correlation", "csrt", "kalman", "matching", "medianflow",
+           "mil", "multitracker", "tld", "twist"]

@@ -66,3 +66,44 @@ def ukf_correct(state: KalmanState, z: jnp.ndarray, h: Callable, R: jnp.ndarray)
     x = state.x + K @ (z - z_pred)
     P = state.P - K @ S @ K.T
     return KalmanState(x, P)
+
+
+# --- Augmented UKF (augmented_unscented_kalman.cpp): non-additive noise ---
+# The state is augmented with process/measurement noise components so sigma
+# points carry noise realizations through f(x, q) / h(x, r) directly.
+
+
+def aukf_predict(state: KalmanState, f: Callable, Q: jnp.ndarray) -> KalmanState:
+    """f(x, q) -> x'. Sigma points drawn over the (x, q) augmented state."""
+    n = state.x.shape[0]
+    q = Q.shape[0]
+    xa = jnp.concatenate([state.x, jnp.zeros(q)])
+    Pa = jax.scipy.linalg.block_diag(state.P, Q)
+    # alpha=1 (Julier set): the Merwe alpha=1e-3 default puts ~1/alpha^2
+    # magnitude on the center weights, which cancels catastrophically in
+    # float32 on the enlarged augmented state
+    pts, wm, wc = _sigma_points(xa, Pa, alpha=1.0)
+    prop = jax.vmap(lambda p: f(p[:n], p[n:]))(pts)
+    x = jnp.einsum("i,ij->j", wm, prop)
+    d = prop - x[None]
+    P = jnp.einsum("i,ij,ik->jk", wc, d, d)
+    return KalmanState(x, P)
+
+
+def aukf_correct(state: KalmanState, z: jnp.ndarray, h: Callable, R: jnp.ndarray) -> KalmanState:
+    """h(x, r) -> z_pred. Sigma points over the (x, r) augmented state."""
+    n = state.x.shape[0]
+    r = R.shape[0]
+    xa = jnp.concatenate([state.x, jnp.zeros(r)])
+    Pa = jax.scipy.linalg.block_diag(state.P, R)
+    pts, wm, wc = _sigma_points(xa, Pa, alpha=1.0)
+    Z = jax.vmap(lambda p: h(p[:n], p[n:]))(pts)
+    z_pred = jnp.einsum("i,ij->j", wm, Z)
+    dz = Z - z_pred[None]
+    dx = pts[:, :n] - state.x[None]
+    S = jnp.einsum("i,ij,ik->jk", wc, dz, dz)
+    C = jnp.einsum("i,ij,ik->jk", wc, dx, dz)
+    K = C @ jnp.linalg.inv(S)
+    x = state.x + K @ (z - z_pred)
+    P = state.P - K @ S @ K.T
+    return KalmanState(x, P)
