@@ -27,6 +27,32 @@ from opencv_contrib_tpu.ximgproc.superpixels_x import lsc, seeds
 from opencv_contrib_tpu.ximgproc.segmentation import edge_boxes, graph_segment, selective_search
 from opencv_contrib_tpu.ximgproc.edline import ed_circles, ed_lines
 from opencv_contrib_tpu.ximgproc.hough_mser import canny, hough_circles, mser
+from opencv_contrib_tpu.ximgproc.filters_x2 import (
+    fast_global_smoother,
+    disparity_wls_filter,
+    l0_smooth,
+    bilateral_texture_filter,
+    joint_bilateral_filter,
+    weighted_median_filter,
+    deriche_gradient_x,
+    deriche_gradient_y,
+    paillou_gradient_x,
+    paillou_gradient_y,
+    edge_preserving_filter,
+    adaptive_manifold_filter,
+    fast_bilateral_solver,
+)
+from opencv_contrib_tpu.ximgproc.transforms_x import (
+    radon_transform,
+    peilin_normalization,
+    color_match_template,
+    covariance_estimation,
+    erode_fast,
+    dilate_fast,
+    scan_segment,
+    find_ellipses,
+    conic_to_ellipse,
+)
 
 __all__ = [
     "anisotropic_diffusion",
