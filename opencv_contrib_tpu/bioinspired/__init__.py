@@ -11,5 +11,14 @@ stages on image state carried frame to frame — one jitted step.
 
 from opencv_contrib_tpu.bioinspired.retina import Retina, RetinaState
 from opencv_contrib_tpu.bioinspired.transient import TransientState, transient_create, transient_run
+from opencv_contrib_tpu.bioinspired.color import (
+    bayer_masks,
+    color_multiplex,
+    color_demultiplex,
+    fast_tone_mapping,
+    retina_run_color,
+)
 
-__all__ = ["Retina", "RetinaState", "TransientState", "transient_create", "transient_run"]
+__all__ = ["Retina", "RetinaState", "TransientState", "transient_create", "transient_run",
+           "bayer_masks", "color_multiplex", "color_demultiplex", "fast_tone_mapping",
+           "retina_run_color"]

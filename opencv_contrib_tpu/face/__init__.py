@@ -14,5 +14,6 @@ from opencv_contrib_tpu.face.recognizers import (
     LBPH,
     lbp_image,
 )
+from opencv_contrib_tpu.face.bif import bif_features
 
-__all__ = ["EigenFaces", "FisherFaces", "LBPH", "lbp_image", "facemark"]
+__all__ = ["EigenFaces", "FisherFaces", "LBPH", "lbp_image", "facemark", "bif_features"]
