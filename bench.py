@@ -17,6 +17,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+if not os.environ.get("OCV_TPU_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("OCV_TPU_CACHE", "/root/repo/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # optional device profile capture (ROADMAP "jax.profiler trace capture in
 # bench"): BENCH_PROFILE=/path/to/logdir wraps the timed section in a trace
 _PROFILE_DIR = os.environ.get("BENCH_PROFILE")

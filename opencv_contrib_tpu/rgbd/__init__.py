@@ -19,6 +19,7 @@ from opencv_contrib_tpu.rgbd import (
     icp,
     kinfu,
     linemod,
+    normals,
     odometry,
     posegraph,
     submap,
@@ -28,5 +29,5 @@ from opencv_contrib_tpu.rgbd import (
 
 __all__ = [
     "colored_tsdf", "depth_utils", "dynafu", "frame", "hash_tsdf", "icp", "kinfu",
-    "linemod", "odometry", "posegraph", "submap", "tsdf", "warpfield",
+    "linemod", "normals", "odometry", "posegraph", "submap", "tsdf", "warpfield",
 ]

@@ -6,11 +6,14 @@ Parity targets (reference anchors):
 - ER filter: text/src/erfilter.cpp (Neumann-Matas extremal region cascade,
   ERFilter::run, text/include/opencv2/text/erfilter.hpp:118-151)
 
-OCR heads (Tesseract wrapper, HMM decoder) wrap external engines upstream
-and are out of scope; the detector stages here produce the boxes those
-consume.
+OCR heads:
+- ocr.py — OCRHMMDecoder/OCRBeamSearchDecoder parity (glyph classifier +
+  Viterbi/beam decoding, ocr_hmm_decoder.cpp, ocr_beamsearch_decoder.cpp)
+- crnn.py — holistic CRNN recognizer trained in-repo on synthetic renders
+  (ocr_holistic.cpp's role; the Tesseract wrapper stays out of scope —
+  it shells out to an external engine upstream).
 """
 
-from opencv_contrib_tpu.text import er, swt
+from opencv_contrib_tpu.text import er, swt, ocr, crnn
 
-__all__ = ["er", "swt"]
+__all__ = ["er", "swt", "ocr", "crnn"]

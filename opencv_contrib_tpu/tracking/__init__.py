@@ -26,9 +26,10 @@ from opencv_contrib_tpu.tracking import (
     medianflow,
     mil,
     multitracker,
+    siam,
     tld,
     twist,
 )
 
 __all__ = ["boosting", "correlation", "csrt", "kalman", "matching", "medianflow",
-           "mil", "multitracker", "tld", "twist"]
+           "mil", "multitracker", "siam", "tld", "twist"]

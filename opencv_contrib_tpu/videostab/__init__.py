@@ -10,5 +10,17 @@ parameter sequence, inverse-compensation warps.
 """
 
 from opencv_contrib_tpu.videostab.stabilizer import estimate_motions, smooth_trajectory, stabilize
+from opencv_contrib_tpu.videostab.extra import (
+    ransac_motion,
+    lp_stabilize_trajectory,
+    calc_blurriness,
+    weighting_deblur,
+    color_average_inpaint,
+    consistent_mosaic_inpaint,
+    wobble_suppress,
+)
 
-__all__ = ["estimate_motions", "smooth_trajectory", "stabilize"]
+__all__ = ["estimate_motions", "smooth_trajectory", "stabilize",
+           "ransac_motion", "lp_stabilize_trajectory", "calc_blurriness",
+           "weighting_deblur", "color_average_inpaint",
+           "consistent_mosaic_inpaint", "wobble_suppress"]
