@@ -49,6 +49,11 @@ class KinFuParams:
     tsdf_max_weight: float = 64.0
     min_translation: float = 0.008  # min-movement gate before re-integration
     min_rotation: float = 0.01
+    # block-sparse active-band integration (tsdf.integrate_sparse): number
+    # of 8^3 blocks to integrate per frame, or None for the dense path.
+    # ~2x faster integrate at 128^3 (K=256), ~1.8x at 256^3 (K=512); skips
+    # free-space carving (see integrate_sparse docstring).
+    sparse_blocks: int | None = None
 
     @staticmethod
     def default(intr, frame_shape=(120, 160)):
@@ -90,13 +95,23 @@ class KinFu:
         trunc = 5.0 * p.volume_size / p.volume_resolution[0]
         n_coarse = tsdf_mod.coarse_steps_for(trunc, 0.1, p.depth_max)
 
+        if p.sparse_blocks is None:
+            def _integ(volume, depth, intr, T_cw):
+                return tsdf_mod.integrate(
+                    volume, depth, intr, T_cw,
+                    max_weight=p.tsdf_max_weight, depth_max=p.depth_max)
+        else:
+            def _integ(volume, depth, intr, T_cw):
+                return tsdf_mod.integrate_sparse(
+                    volume, depth, intr, T_cw,
+                    max_weight=p.tsdf_max_weight, depth_max=p.depth_max,
+                    max_blocks=p.sparse_blocks)
+
         @jax.jit
         def _first(volume, T_cw, depth):
             intr = jnp.asarray(p.intr)
             pyr = frame_mod.make_frame(depth, intr, levels=p.pyramid_levels)
-            volume = tsdf_mod.integrate(
-                volume, pyr[0].depth, intr, T_cw,
-                max_weight=p.tsdf_max_weight, depth_max=p.depth_max)
+            volume = _integ(volume, pyr[0].depth, intr, T_cw)
             model = _raycast_pyramid(volume, intr, T_cw, p.frame_shape,
                                      p.pyramid_levels, p.depth_max, n_coarse)
             return volume, model
@@ -112,9 +127,7 @@ class KinFu:
             delta = se3.log_se3(T_rel)
             moved = (jnp.linalg.norm(delta[3:]) > p.min_translation) | (
                 jnp.linalg.norm(delta[:3]) > p.min_rotation)
-            vol2 = tsdf_mod.integrate(
-                volume, pyr[0].depth, intr, T_cw_new,
-                max_weight=p.tsdf_max_weight, depth_max=p.depth_max)
+            vol2 = _integ(volume, pyr[0].depth, intr, T_cw_new)
             do_int = ok & moved
             volume = volume._replace(
                 tsdf=jnp.where(do_int, vol2.tsdf, volume.tsdf),

@@ -54,6 +54,38 @@ def create(resolution=(128, 128, 128), size: float = 3.0, center=(0.0, 0.0, 0.0)
     )
 
 
+def _lookup_depth_onehot(depth: jnp.ndarray, vic: jnp.ndarray, uic: jnp.ndarray):
+    """Per-voxel depth lookup as a one-hot MATMUL instead of a gather: TPU
+    gathers pay ~10 ns per row (2M voxels -> 20 ms); routing the lookup
+    through the MXU — rows = onehot(vi) @ depth, then a one-hot dot over
+    columns — runs in ~4 ms. Scanned over vic/uic's leading axis to bound
+    the one-hot intermediate. Depth is mean-centered so the MXU's
+    reduced-precision accumulation only touches the residual (one-hot rows
+    sum to 1). A 0/1 validity channel rides the same lookup so depth==0
+    (invalid) pixels can't round to a positive depth and pass the gate;
+    matmuls run at HIGHEST precision (f32 accumulate).
+
+    vic, uic: (C, N) clipped int32 pixel coords. Returns (d, dok) (C, N)."""
+    H, W = depth.shape
+    dmean = depth.mean()
+    d_c = depth - dmean
+    d_and_valid = jnp.concatenate(
+        [d_c, (depth > 0).astype(jnp.float32)], axis=1)  # (H, 2W)
+
+    def chunk_lookup(_, idx):
+        vs, us = idx  # (N,) int32
+        ohv = jax.nn.one_hot(vs, H, dtype=jnp.float32)
+        rows = jnp.dot(ohv, d_and_valid, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (N, 2W)
+        ohu = jax.nn.one_hot(us, W, dtype=jnp.float32)
+        dep = (rows[:, :W] * ohu).sum(-1)
+        dok = (rows[:, W:] * ohu).sum(-1)
+        return _, (dep, dok)
+
+    _, (d, dok) = jax.lax.scan(chunk_lookup, 0, (vic, uic))
+    return d + dmean, dok
+
+
 @jax.jit
 def integrate(
     vol: TSDFVolume,
@@ -85,34 +117,11 @@ def integrate(
     vi = jnp.round(v).astype(jnp.int32)
     inb = (z > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
 
-    # Per-voxel depth lookup as a one-hot MATMUL instead of a gather: TPU
-    # gathers pay ~10 ns per row (2M voxels -> 20 ms); routing the lookup
-    # through the MXU — rows = onehot(vi) @ depth, then a one-hot dot over
-    # columns — runs in ~4 ms. Scanned over x-slices to bound the one-hot
-    # intermediate. Depth is mean-centered so the MXU's reduced-precision
-    # accumulation only touches the residual (one-hot rows sum to 1).
-    dmean = depth.mean()
-    d_c = depth - dmean
     vic = jnp.clip(vi, 0, H - 1)
     uic = jnp.clip(ui, 0, W - 1)
-    # Carry an exact 0/1 validity channel through the same lookup so
-    # depth==0 (invalid) pixels can't round to a positive depth and pass
-    # the gate; matmuls run at HIGHEST precision (fp32 accumulate) —
-    # default TPU precision rounds inputs to bf16, mm-scale depth error.
-    d_and_valid = jnp.concatenate([d_c, (depth > 0).astype(jnp.float32)], axis=1)  # (H, 2W)
-
-    def slice_lookup(_, idx):
-        vs, us = idx  # (Y, Z) int32
-        ohv = jax.nn.one_hot(vs.reshape(-1), H, dtype=jnp.float32)
-        rows = jnp.dot(ohv, d_and_valid, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # (YZ, 2W)
-        ohu = jax.nn.one_hot(us.reshape(-1), W, dtype=jnp.float32)
-        dep = (rows[:, :W] * ohu).sum(-1).reshape(vs.shape)
-        dok = (rows[:, W:] * ohu).sum(-1).reshape(vs.shape)
-        return _, (dep, dok)
-
-    _, (d, dok) = jax.lax.scan(slice_lookup, 0, (vic, uic))
-    d = d + dmean
+    d, dok = _lookup_depth_onehot(depth, vic.reshape(X, -1), uic.reshape(X, -1))
+    d = d.reshape(X, Y, Z)
+    dok = dok.reshape(X, Y, Z)
     valid = inb & (dok > 0.5) & (d > 0) & (d < depth_max)
 
     sdf = d - z
@@ -128,6 +137,227 @@ def integrate(
         vol.tsdf,
     )
     return vol._replace(tsdf=fused, weight=w_new)
+
+
+@partial(jax.jit, static_argnames=("block_size", "max_blocks", "carve"))
+def integrate_sparse(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    intr: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    max_weight: float = 64.0,
+    depth_max: float = 4.0,
+    block_size: int = 8,
+    max_blocks: int = 1024,
+    carve: bool = False,
+) -> TSDFVolume:
+    """Block-sparse active-band integration.
+
+    carve=False (default) selects only blocks intersecting the truncation
+    band — free-space voxels in front of the surface keep weight 0, so
+    stale surfaces are not carved away by empty-space evidence (fine for
+    static scenes; the band is thick enough, 5 voxels, that raycast
+    crossings are unaffected). carve=True also selects every frustum block
+    in front of the surface, matching dense `integrate` free-space
+    semantics at the cost of selecting ~frustum/band more blocks.
+
+    The dense path touches every voxel; only voxels within the truncation
+    band of the observed surface can change (integrateVolumeUnit's early
+    sdf gate, tsdf_functions.cpp:158 — and the hash_tsdf module allocates
+    only such 16^3 units, hash_tsdf.cpp:190). TPU version of that idea with
+    STATIC shapes: partition the volume into block_size^3 blocks, test each
+    block's projected corner rect against a conservative min/max depth mip
+    (HiZ-style, level chosen so the rect spans <= 2x2 cells), select the
+    top `max_blocks` active blocks (near-first on overflow), row-gather
+    their voxels from the (X*Y, Z) view, run the same fused update, and
+    scatter z-expanded DELTAS back (adds commute across blocks sharing
+    rows). Measured on v5e vs the dense path: 6.4 -> 1.8 ms at 128^3
+    (K=256), 35 -> 4.4 ms at 256^3 (K=512); 512^3 integrates in 26 ms
+    (dense would be ~280 ms).
+
+    Same per-voxel math as `integrate` (delta scatter-add may differ by
+    1 ulp after many fusions); blocks beyond `max_blocks` are skipped for
+    that frame (pick max_blocks generously: the band at 128^3/bs=8
+    occupies ~100-700 blocks depending on scene area).
+    """
+    X, Y, Z = vol.dims
+    bs = block_size
+    assert X % bs == 0 and Y % bs == 0 and Z % bs == 0
+    Bx, By, Bz = X // bs, Y // bs, Z // bs
+    nb = Bx * By * Bz
+    H, W = depth.shape
+    R, t = se3.mat_to_rt(T_cw)
+    vs = vol.voxel_size
+    trunc = vol.trunc_dist
+    r_b = vs * bs * 0.8660254  # block bounding-sphere radius
+
+    # --- block activity test: project each block's 8 corners, then query a
+    # conservative min/max depth mip (HiZ-style) at the level where the
+    # projected rect spans <= 2x2 cells — scale-adaptive, so large
+    # near-camera block footprints stay conservative ---
+    bx = jax.lax.broadcasted_iota(jnp.float32, (Bx, By, Bz), 0)
+    by = jax.lax.broadcasted_iota(jnp.float32, (Bx, By, Bz), 1)
+    bz = jax.lax.broadcasted_iota(jnp.float32, (Bx, By, Bz), 2)
+    centers = (jnp.stack([bx, by, bz], -1) * bs + (bs - 1) / 2.0) * vs + vol.origin
+    cc = jnp.einsum("ij,xyzj->xyzi", R, centers.reshape(Bx, By, Bz, 3)) + t
+    zc = cc[..., 2].reshape(-1)  # (nb,)
+
+    # 8 corners of each block (with half-voxel slack)
+    half = (bs / 2.0 + 0.5) * vs
+    corner_offs = jnp.array([[sx, sy, sz] for sx in (-1, 1)
+                             for sy in (-1, 1) for sz in (-1, 1)],
+                            jnp.float32) * half  # (8,3) volume axes offsets
+    # rotate offsets once (volume axes == world axes)
+    co_cam = corner_offs @ R.T  # (8,3)
+    ccam = cc.reshape(-1, 1, 3) + co_cam[None]  # (nb, 8, 3)
+    czs = ccam[..., 2]
+    any_behind = jnp.any(czs < 1e-3, axis=1)
+    zsafe = jnp.maximum(czs, 1e-3)
+    us = ccam[..., 0] / zsafe * intr[0] + intr[2]
+    vs_px = ccam[..., 1] / zsafe * intr[1] + intr[3]
+    umin = jnp.min(us, axis=1); umax = jnp.max(us, axis=1)
+    vmin = jnp.min(vs_px, axis=1); vmax = jnp.max(vs_px, axis=1)
+    in_img = (umax > 0) & (umin < W) & (vmax > 0) & (vmin < H)
+    # behind-camera corners make the rect unreliable -> conservative active
+    uncertain = any_behind & (zc + r_b > 0.0)
+
+    # min/max depth mips on a pow2-padded canvas (invalid -> +inf / -inf)
+    import math as _math
+    S = 1 << int(_math.ceil(_math.log2(max(H, W))))
+    L = int(_math.log2(S)) + 1
+    dmin0 = jnp.full((S, S), jnp.inf).at[:H, :W].set(
+        jnp.where(depth > 0, depth, jnp.inf))
+    dmax0 = jnp.full((S, S), -jnp.inf).at[:H, :W].set(
+        jnp.where(depth > 0, depth, -jnp.inf))
+    mins, maxs, offs = [dmin0], [dmax0], [0]
+    flat_len = S * S
+    for l in range(1, L):
+        a = mins[-1]; b = maxs[-1]
+        s = a.shape[0] // 2
+        mins.append(jnp.min(a.reshape(s, 2, s, 2), axis=(1, 3)))
+        maxs.append(jnp.max(b.reshape(s, 2, s, 2), axis=(1, 3)))
+        offs.append(flat_len)
+        flat_len += s * s
+    mmflat = jnp.stack(
+        [jnp.concatenate([m.reshape(-1) for m in mins]),
+         jnp.concatenate([m.reshape(-1) for m in maxs])], axis=-1)  # (F,2)
+    off_tab = jnp.asarray(offs, jnp.int32)
+    size_tab = jnp.asarray([S >> l for l in range(L)], jnp.int32)
+
+    ext = jnp.maximum(umax - umin, vmax - vmin)
+    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(ext, 1.0))).astype(jnp.int32),
+                   0, L - 1)
+    side = jnp.take(size_tab, lvl)  # cells per side at that level
+    base = jnp.take(off_tab, lvl)
+    c0 = jnp.clip((umin / (S // side).astype(jnp.float32)).astype(jnp.int32), 0, side - 1)
+    r0 = jnp.clip((vmin / (S // side).astype(jnp.float32)).astype(jnp.int32), 0, side - 1)
+    bdmin = jnp.full((nb,), jnp.inf)
+    bdmax = jnp.full((nb,), -jnp.inf)
+    for dr in (0, 1):
+        for dc in (0, 1):
+            rr = jnp.minimum(r0 + dr, side - 1)
+            ccx = jnp.minimum(c0 + dc, side - 1)
+            rows2 = mmflat[base + rr * side + ccx]
+            bdmin = jnp.minimum(bdmin, rows2[:, 0])
+            bdmax = jnp.maximum(bdmax, rows2[:, 1])
+
+    active = (in_img & (zc + r_b > 0.0) & (zc - r_b < depth_max + trunc)
+              & jnp.isfinite(bdmax)
+              & (zc - r_b < bdmax + trunc))
+    if not carve:
+        active = active & (zc + r_b > bdmin - trunc)
+    active = active | (uncertain & jnp.any(depth > 0))
+
+    K = min(max_blocks, nb)
+    score = jnp.where(active, 1e3 - zc, -jnp.inf)
+    _, sel = jax.lax.top_k(score, K)  # (K,) distinct block ids
+    sel_ok = jnp.take(score, sel) > -jnp.inf
+
+    # --- gather selected block voxels WITHOUT re-blocking the volume ---
+    # A blocked 6D transpose copies the whole volume twice per array
+    # (~14 ms at 256^3 — it dominated the first cut of this function).
+    # Instead view the volume as (X*Y, Z): each block touches bs^2 rows,
+    # gathered directly (row gathers are the cheap gather shape on TPU);
+    # its bs z-columns are cut out with a per-block one-hot matmul, and the
+    # update goes back as a scatter-ADD of deltas (adds commute, so blocks
+    # sharing (x, y) rows — same bx/by, different bz — cannot clobber each
+    # other the way a row .set() would).
+    sbx = sel // (By * Bz)
+    sby = (sel // Bz) % By
+    sbz = sel % Bz
+    r2 = bs * bs
+    lx = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0).reshape(-1)  # (r2,)
+    ly = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1).reshape(-1)
+    gxr = sbx[:, None] * bs + lx[None, :]  # (K, r2) voxel x
+    gyr = sby[:, None] * bs + ly[None, :]  # (K, r2) voxel y
+    ridx = (gxr * Y + gyr).reshape(-1)  # (K*r2,) rows into the (X*Y, Z) view
+
+    t2d = vol.tsdf.reshape(X * Y, Z)
+    w2d = vol.weight.reshape(X * Y, Z)
+    rows_t = t2d[ridx].reshape(K, r2, Z)
+    rows_w = w2d[ridx].reshape(K, r2, Z)
+
+    zi = jax.lax.broadcasted_iota(jnp.int32, (K, Z), 1)
+    j0 = (sbz * bs)[:, None]
+    ohz = ((zi >= j0) & (zi < j0 + bs)).astype(jnp.float32)  # (K, Z)
+    ohzj = (zi[:, :, None] == (j0[..., None] + jnp.arange(bs))).astype(
+        jnp.float32)  # (K, Z, bs)
+    t_rows = jnp.einsum("krz,kzj->krj", rows_t, ohzj,
+                        precision=jax.lax.Precision.HIGHEST).reshape(K, -1)
+    w_rows = jnp.einsum("krz,kzj->krj", rows_w, ohzj,
+                        precision=jax.lax.Precision.HIGHEST).reshape(K, -1)
+
+    # --- voxel coords of selected blocks (r-major, z-minor: (K, r2*bs)) ---
+    gz1 = (sbz[:, None, None] * bs + jnp.arange(bs)[None, None, :])  # (K,1,bs)
+    gx = jnp.broadcast_to(gxr[:, :, None], (K, r2, bs)).astype(jnp.float32)
+    gy = jnp.broadcast_to(gyr[:, :, None], (K, r2, bs)).astype(jnp.float32)
+    gz = jnp.broadcast_to(gz1, (K, r2, bs)).astype(jnp.float32)
+    pw = jnp.stack([gx, gy, gz], -1).reshape(K, r2 * bs, 3) * vs + vol.origin
+    pc = jnp.einsum("ij,knj->kni", R, pw) + t
+    z = pc[..., 2]
+    u = pc[..., 0] / jnp.maximum(z, 1e-9) * intr[0] + intr[2]
+    v = pc[..., 1] / jnp.maximum(z, 1e-9) * intr[1] + intr[3]
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    inb = (z > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+
+    # depth lookup in chunks of blocks (~16k voxels per one-hot step)
+    vox_per = bs * bs * bs
+    chunk_blocks = max(1, 16384 // vox_per)
+    nchunks = -(-K // chunk_blocks)
+    padK = nchunks * chunk_blocks
+    vic = jnp.clip(vi, 0, H - 1).reshape(K * vox_per)
+    uic = jnp.clip(ui, 0, W - 1).reshape(K * vox_per)
+    if padK != K:
+        padn = (padK - K) * vox_per
+        vic = jnp.concatenate([vic, jnp.zeros(padn, jnp.int32)])
+        uic = jnp.concatenate([uic, jnp.zeros(padn, jnp.int32)])
+    d, dok = _lookup_depth_onehot(depth, vic.reshape(nchunks, -1),
+                                  uic.reshape(nchunks, -1))
+    d = d.reshape(-1)[: K * vox_per].reshape(K, vox_per)
+    dok = dok.reshape(-1)[: K * vox_per].reshape(K, vox_per)
+
+    valid = inb & (dok > 0.5) & (d > 0) & (d < depth_max)
+    sdf = d - z
+    within = valid & (sdf > -trunc) & sel_ok[:, None]
+    tsdf_new = jnp.clip(sdf / trunc, -1.0, 1.0)
+    w_add = within.astype(jnp.float32)
+    w_new = jnp.minimum(w_rows + w_add, max_weight)
+    fused = jnp.where(
+        within,
+        (t_rows * w_rows + tsdf_new * w_add) / jnp.maximum(w_rows + w_add, 1.0),
+        t_rows)
+
+    # --- scatter back as z-expanded deltas (adds commute across blocks) ---
+    dt = jnp.where(sel_ok[:, None], fused - t_rows, 0.0).reshape(K, r2, bs)
+    dw = jnp.where(sel_ok[:, None], w_new - w_rows, 0.0).reshape(K, r2, bs)
+    dt_full = jnp.einsum("krj,kzj->krz", dt, ohzj,
+                         precision=jax.lax.Precision.HIGHEST)
+    dw_full = jnp.einsum("krj,kzj->krz", dw, ohzj,
+                         precision=jax.lax.Precision.HIGHEST)
+    t2d = t2d.at[ridx].add(dt_full.reshape(K * r2, Z))
+    w2d = w2d.at[ridx].add(dw_full.reshape(K * r2, Z))
+    return vol._replace(tsdf=t2d.reshape(X, Y, Z), weight=w2d.reshape(X, Y, Z))
 
 
 def _corner_stack(vol: TSDFVolume) -> jnp.ndarray:
