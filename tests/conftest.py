@@ -28,3 +28,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Full-suite runs (~400 jit compilations in one process) have
+    segfaulted inside XLA:CPU's backend_compile after enough accumulated
+    executables; dropping compiled-program caches between modules keeps the
+    compiler state bounded. Costs a little recompilation per module."""
+    yield
+    jax.clear_caches()
