@@ -40,10 +40,13 @@ def imread_depth_tum(path: str, scale: float = 5000.0) -> np.ndarray:
 
 
 def imwrite(path: str, img: np.ndarray):
+    """Write an image: float arrays are treated as [0, 1], uint8 as-is."""
     from PIL import Image
 
-    arr = np.clip(np.asarray(img), 0.0, 1.0)
-    Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
 
 
 # ----------------------------------------------------------------------------

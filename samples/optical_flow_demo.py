@@ -12,6 +12,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from opencv_contrib_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
 import sys
 
 import numpy as np
