@@ -494,20 +494,51 @@ def _raycast_impl(
     # then resample n_fine steps inside each ray's bracket. 192 dense ->
     # 48+8 cuts gather traffic ~3.4x on the hot path; both passes use
     # NEAREST sampling (normals below use full trilinear gradients).
-    n_fine = 8
+    #
+    # The coarse pass additionally runs on a 2x-subsampled ray grid (1/4 of
+    # the rays): brackets are propagated to full resolution through a 3x3
+    # min/max dilation (conservative: a full-res ray's crossing lies inside
+    # the union of its neighborhood's brackets), and the fine pass runs
+    # full-res inside the widened bracket. Rays whose own coarse cell had
+    # no crossing keep no midpoint fallback (a dilated bracket without a
+    # fine crossing is a silhouette edge, not a surface).
+    n_fine = 12
+    cs = 2 if (H % 2 == 0 and W % 2 == 0) else 1
+    Hc, Wc = H // cs, W // cs
+    dirs_lo = dirs[::cs, ::cs]
     dz = (depth_max - depth_min) / n_coarse
     zs = depth_min + (jnp.arange(n_coarse) + 0.5) * dz  # (C,)
-    pts = origin[None, None, None] + dirs[None] * zs[:, None, None, None]  # (C, H, W, 3)
-    f, ok = sample_nearest(vol, pts)  # (C, H, W)
+    pts = origin[None, None, None] + dirs_lo[None] * zs[:, None, None, None]
+    f, ok = sample_nearest(vol, pts)  # (C, Hc, Wc)
 
-    f_prev = jnp.concatenate([jnp.ones((1, H, W)), f[:-1]])
-    ok_prev = jnp.concatenate([jnp.zeros((1, H, W), bool), ok[:-1]])
+    f_prev = jnp.concatenate([jnp.ones((1, Hc, Wc)), f[:-1]])
+    ok_prev = jnp.concatenate([jnp.zeros((1, Hc, Wc), bool), ok[:-1]])
     crossing = ok & ok_prev & (f_prev > 0) & (f < 0)
-    valid = jnp.any(crossing, axis=0)
-    first = jnp.argmax(crossing, axis=0)  # (H, W) coarse index of crossing
+    valid_lo = jnp.any(crossing, axis=0)
+    first = jnp.argmax(crossing, axis=0)  # (Hc, Wc) coarse crossing index
 
-    zc = zs[first]
-    zp = zs[jnp.maximum(first - 1, 0)]
+    zc_lo = zs[first]
+    zp_lo = zs[jnp.maximum(first - 1, 0)]
+    if cs > 1:
+        inf = jnp.inf
+        zp_d = -jax.lax.reduce_window(
+            -jnp.where(valid_lo, zp_lo, inf), -inf, jax.lax.max,
+            (3, 3), (1, 1), "SAME")
+        zc_d = jax.lax.reduce_window(
+            jnp.where(valid_lo, zc_lo, -inf), -inf, jax.lax.max,
+            (3, 3), (1, 1), "SAME")
+        valid_d = zc_d > -inf
+        rep = lambda a: jnp.repeat(jnp.repeat(a, cs, 0), cs, 1)
+        valid = rep(valid_d)
+        own = rep(valid_lo)
+        zp = jnp.where(valid, rep(jnp.where(valid_d, zp_d, 0.0)), 0.0)
+        zc = jnp.where(valid, rep(jnp.where(valid_d, zc_d, 0.0)), 0.0)
+        zp_own = rep(jnp.where(valid_lo, 0.5 * (zp_lo + zc_lo), 0.0))
+    else:
+        valid = valid_lo
+        own = valid_lo
+        zp, zc = zp_lo, zc_lo
+        zp_own = 0.5 * (zp_lo + zc_lo)
     # fine pass: n_fine samples inside [zp, zc] per ray
     tf = (jnp.arange(n_fine, dtype=jnp.float32) + 0.5) / n_fine  # (F,)
     zf = zp[None] + tf[:, None, None] * (zc - zp)[None]  # (F, H, W)
@@ -526,9 +557,12 @@ def _raycast_impl(
     denom = fp - fi
     alpha = jnp.where(jnp.abs(denom) > 1e-9, fp / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
     zhit_f = z0 + alpha * dzf
-    # fall back to the coarse bracket midpoint when the fine pass finds no
-    # sign change (nearest-sampling jitter at grazing angles)
-    zhit = jnp.where(valid, jnp.where(has_f, zhit_f, 0.5 * (zp + zc)), 0.0)
+    # fall back to the ray's OWN coarse bracket midpoint when the fine pass
+    # finds no sign change (nearest-sampling jitter at grazing angles);
+    # rays valid only through dilation need a real fine crossing
+    zhit = jnp.where(valid & has_f, zhit_f,
+                     jnp.where(own & valid, zp_own, 0.0))
+    valid = valid & (has_f | own)
 
     pts_world = origin[None, None] + dirs * zhit[..., None]
     normals_world = sample_gradient(vol, pts_world)
