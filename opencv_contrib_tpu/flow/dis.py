@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from opencv_contrib_tpu.core import pyramid
 from opencv_contrib_tpu.ops import filters
-from opencv_contrib_tpu.ops.image import sample_bilinear, grid_coords
+from opencv_contrib_tpu.ops.image import sample_bilinear, sample_bilinear_multi, grid_coords
 from opencv_contrib_tpu.flow import lk
 
 
@@ -47,11 +47,9 @@ def _level_patch_flow(I0, I1, flow_init, stride: int, radius: int, iters: int):
     f0 = sample_bilinear(flow_init, pts[:, 0], pts[:, 1])  # (P, 2)
     flow_p, valid = lk.lk_level(I0, I1, pts, f0, radius=radius, iters=iters)
     # patch residual -> weight (DIS uses inverse mean abs diff)
-    dy, dx = lk._window_offsets(radius)
-    wy = pts[:, 0][:, None] + dy[None]
-    wx = pts[:, 1][:, None] + dx[None]
-    T = sample_bilinear(I0, wy, wx)
-    Iw = sample_bilinear(I1, wy + flow_p[:, 0][:, None], wx + flow_p[:, 1][:, None])
+    from opencv_contrib_tpu.ops.image import sample_windows
+    T = sample_windows(I0, pts, radius)
+    Iw = sample_windows(I1, pts, radius, flow_yx=flow_p)
     res = jnp.mean(jnp.abs(Iw - T), axis=1)
     w = jnp.where(valid, 1.0 / (res + 1e-2), 1e-6)
     flow_p = jnp.where(valid[:, None], flow_p, f0)
@@ -80,13 +78,13 @@ def variational_refine(I0, I1, flow, alpha: float = 8.0, outer: int = 3, iters: 
     diffusion-regularized system with fixed Jacobi sweeps."""
     gy1, gx1 = filters.gradients(I1)
 
+    maps = jnp.stack([I1, gx1, gy1])  # one corner-stacked gather for all 3
+
     def outer_body(flow, _):
         y, x = grid_coords(*I0.shape)
         wy = y + flow[..., 0]
         wx = x + flow[..., 1]
-        Iw = sample_bilinear(I1, wy, wx)
-        Ix = sample_bilinear(gx1, wy, wx)
-        Iy = sample_bilinear(gy1, wy, wx)
+        Iw, Ix, Iy = sample_bilinear_multi(maps, wy, wx)
         It = Iw - I0
 
         # robust data weight (Charbonnier)

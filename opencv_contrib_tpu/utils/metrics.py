@@ -82,7 +82,7 @@ def psnr(a, b, max_val: float = 1.0) -> float:
     return float(10.0 * np.log10(max_val * max_val / m))
 
 
-def ssim(a, b, max_val: float = 1.0, sigma: float = 1.5) -> float:
+def ssim(a, b, max_val: float = 1.0, sigma: float = 1.5):
     """QualitySSIM parity (Gaussian-windowed, standard constants)."""
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
@@ -96,10 +96,10 @@ def ssim(a, b, max_val: float = 1.0, sigma: float = 1.5) -> float:
     s = ((2 * mu_a * mu_b + C1) * (2 * cov + C2)) / (
         (mu_a * mu_a + mu_b * mu_b + C1) * (va + vb + C2)
     )
-    return float(jnp.mean(s))
+    return jnp.mean(s)
 
 
-def gmsd(a, b, c: float = 0.0026) -> float:
+def gmsd(a, b, c: float = 0.0026):
     """QualityGMSD parity: gradient-magnitude-similarity deviation."""
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
@@ -114,4 +114,4 @@ def gmsd(a, b, c: float = 0.0026) -> float:
     ma = jnp.sqrt(gax * gax + gay * gay)
     mb = jnp.sqrt(gbx * gbx + gby * gby)
     gms = (2 * ma * mb + c) / (ma * ma + mb * mb + c)
-    return float(jnp.std(gms))
+    return jnp.std(gms)
