@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from opencv_contrib_tpu.core import pyramid
 from opencv_contrib_tpu.ops import filters
-from opencv_contrib_tpu.ops.image import sample_bilinear, grid_coords, resize
+from opencv_contrib_tpu.ops.image import sample_bilinear, sample_bilinear_multi, grid_coords, resize
 
 
 def _grad(u):
@@ -34,14 +34,13 @@ def _div(py, px):
 def _tvl1_level(I0, I1, flow, lam: float = 15.0, theta: float = 0.3, tau: float = 0.25, outer: int = 5, inner: int = 30):
     gy1, gx1 = filters.gradients(I1)
     y, x = grid_coords(*I0.shape)
+    maps = jnp.stack([I1, gy1, gx1])  # one corner-stacked gather for all 3
 
     def outer_body(carry, _):
         u, p = carry  # u (H,W,2); p dual (H,W,2,2)
         wy = y + u[..., 0]
         wx = x + u[..., 1]
-        Iw = sample_bilinear(I1, wy, wx)
-        Iy = sample_bilinear(gy1, wy, wx)
-        Ix = sample_bilinear(gx1, wy, wx)
+        Iw, Iy, Ix = sample_bilinear_multi(maps, wy, wx)
         rho_c = Iw - Iy * u[..., 0] - Ix * u[..., 1] - I0
         grad2 = Iy * Iy + Ix * Ix + 1e-9
 
