@@ -138,20 +138,27 @@ class HDF5:
 
     # --- keypoints (hdf5.hpp kpcreate/kpwrite/kpread — stored as the
     # reference's 6-field KeyPoint records) ---
-    _KP_DTYPE = np.dtype([("x", "f4"), ("y", "f4"), ("size", "f4"),
+    # field names match the reference's compound type (hdf5.cpp:1199 writes
+    # xpos/ypos/size/angle/response/octave/class_id) so keypoint datasets
+    # interoperate with reference-written files
+    _KP_DTYPE = np.dtype([("xpos", "f4"), ("ypos", "f4"), ("size", "f4"),
                           ("angle", "f4"), ("response", "f4"),
                           ("octave", "i4"), ("class_id", "i4")])
 
     def kpwrite(self, keypoints, kplabel: str):
         """keypoints: (N,>=2) array [x, y, size, angle, response, octave,
         class_id] (missing columns default to 0/-1)."""
-        kp = np.asarray(keypoints, np.float32).reshape(len(keypoints), -1)
+        raw = np.asarray(keypoints).reshape(len(keypoints), -1)
+        kp = raw.astype(np.float32)
         rec = np.zeros(len(kp), self._KP_DTYPE)
-        names = ["x", "y", "size", "angle", "response"]
+        names = ["xpos", "ypos", "size", "angle", "response"]
         for i, n in enumerate(names[: min(5, kp.shape[1])]):
             rec[n] = kp[:, i]
-        rec["octave"] = (kp[:, 5].astype(np.int32) if kp.shape[1] > 5 else 0)
-        rec["class_id"] = (kp[:, 6].astype(np.int32) if kp.shape[1] > 6
+        # octave/class_id sliced from the ORIGINAL input: OpenCV packs
+        # layer/scale bits into octave's high bytes, which a float32
+        # round-trip would destroy
+        rec["octave"] = (raw[:, 5].astype(np.int32) if raw.shape[1] > 5 else 0)
+        rec["class_id"] = (raw[:, 6].astype(np.int32) if raw.shape[1] > 6
                            else -1)
         if kplabel in self._f:
             del self._f[kplabel]
@@ -159,10 +166,15 @@ class HDF5:
 
     def kpread(self, kplabel: str) -> np.ndarray:
         rec = self._f[kplabel][...]
+        names = rec.dtype.names
         out = np.zeros((len(rec), 7), np.float32)
-        for i, n in enumerate(["x", "y", "size", "angle", "response",
+        for i, n in enumerate(["xpos", "ypos", "size", "angle", "response",
                                "octave", "class_id"]):
-            out[:, i] = rec[n]
+            # accept both the reference layout (xpos/ypos) and the legacy
+            # in-repo layout (x/y)
+            key = n if n in names else {"xpos": "x", "ypos": "y"}.get(n, n)
+            if key in names:
+                out[:, i] = rec[key]
         return out
 
     def kpgetsize(self, kplabel: str) -> int:

@@ -78,8 +78,12 @@ def sample_windows(img: jnp.ndarray, pts_yx: jnp.ndarray, radius: int,
     x0i = x0.astype(jnp.int32)
 
     offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
-    # (a) y rows: gather (N, M) rows from [img | img shifted up by 1]
-    G = jnp.concatenate([img, jnp.roll(img, -1, 0)], axis=1)  # (H, 2W)
+    # (a) y rows: gather (N, M) rows from [img | img shifted up by 1].
+    # Edge-replicated shift (NOT roll): for windows touching the bottom row
+    # the y1 sample must clamp to the last row (BORDER_REPLICATE, matching
+    # sample_bilinear) instead of wrapping to row 0.
+    img_dn = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    G = jnp.concatenate([img, img_dn], axis=1)  # (H, 2W)
     ridx = jnp.clip(y0i[:, None] + offs[None, :], 0, H - 1)   # (N, M)
     rows = G[ridx.reshape(-1)].reshape(-1, M, 2 * W)
     rowsY = rows[..., :W] * (1.0 - fy[..., None]) + rows[..., W:] * fy[..., None]

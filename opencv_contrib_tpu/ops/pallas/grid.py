@@ -115,7 +115,14 @@ def grid_reduce(map_op: Callable, *arrays: jnp.ndarray, kind: str = "sum",
         i, j = pl.program_id(0), pl.program_id(1)
         first = (i == 0) & (j == 0)
         last = (i == ni - 1) & (j == nj - 1)
-        val = red(map_op(*(r[:] for r in ins)))
+        mapped = map_op(*(r[:] for r in ins))
+        # mask padded cells with the neutral element: map_op(fill) need not
+        # be neutral (e.g. exp(-x*x) with sum), so validity is derived from
+        # the tile's absolute coordinates vs the unpadded extent
+        rows = i * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+        cols = j * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+        valid = (rows < H) & (cols < W)
+        val = red(jnp.where(valid, mapped, jnp.asarray(neutral, mapped.dtype)))
 
         @pl.when(first)
         def _init():
@@ -149,9 +156,12 @@ def grid_reduce_vec(map_op: Callable, *arrays: jnp.ndarray, out_dim: int,
                     tile=(256, 256), interpret=None) -> jnp.ndarray:
     """map_op maps tile -> (out_dim,) partial sums; returns their total.
 
-    map_op receives each input tile (th, tw) and must return a (out_dim,)
-    f32 vector (e.g. the 27 upper-triangle entries of a 6x7 normal system
-    summed over the tile's pixels).
+    map_op receives each input tile (th, tw) PLUS a final (th, tw) bool
+    validity tile (False on cells padded up to the tile multiple — the
+    reduction happens inside map_op, so map_op itself must zero invalid
+    cells' contributions), and must return a (out_dim,) f32 vector (e.g.
+    the 27 upper-triangle entries of a 6x7 normal system summed over the
+    tile's valid pixels).
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -165,7 +175,10 @@ def grid_reduce_vec(map_op: Callable, *arrays: jnp.ndarray, out_dim: int,
         ins, out = refs[:-1], refs[-1]
         i, j = pl.program_id(0), pl.program_id(1)
         first = (i == 0) & (j == 0)
-        val = map_op(*(r[:] for r in ins)).astype(jnp.float32)
+        rows = i * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+        cols = j * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+        valid = (rows < H) & (cols < W)
+        val = map_op(*(r[:] for r in ins), valid).astype(jnp.float32)
 
         @pl.when(first)
         def _init():

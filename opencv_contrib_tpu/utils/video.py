@@ -183,8 +183,11 @@ class AVIWriter:
         fcc = self.fourcc.encode()
         avih = struct.pack("<14I", us_per_frame, 0, 0, 0x10, n, 0, 1, 0,
                            self.w, self.h, 0, 0, 0, 0)
+        # rate/scale as an exact ratio (29.97 -> 30000/1001), not a
+        # truncated integer rate — readers honor strh over avih
+        fnum, fden = _fps_to_ratio(self.fps)
         strh = struct.pack("<4s4sIHHIIIIIIII4H", b"vids", fcc, 0, 0, 0, 0,
-                           1, int(self.fps), 0, n, 0, 0xFFFFFFFF, 0,
+                           fden, fnum, 0, n, 0, 0xFFFFFFFF, 0,
                            0, 0, self.w, self.h)
         biComp = 0 if self.fourcc == "DIB " else struct.unpack("<I", b"MJPG")[0]
         strf = struct.pack("<IiiHHIIiiII", 40, self.w, self.h, 1, 24,
