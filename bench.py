@@ -52,6 +52,82 @@ def _bench(f, q, t, n=100, repeats=2):
     return best / n
 
 
+def _time_jit(f, *args, n=3):
+    """min-of-n wall time of an already-jitted nullary-result call."""
+    jax.block_until_ready(f(*args))  # compile + settle
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_keyframes(n_frames=32, H=480, W=640, K=512):
+    """End-to-end keyframes/s (the BASELINE headline): detect -> describe ->
+    match-to-previous -> PnP resect per frame (lax.scan over the sequence,
+    one dispatch), plus one 16-cam x 2048-pt bundle refresh — the SfM
+    keyframe tick (SURVEY §3.1 stack, reference sfm/src/simple_pipeline.cpp).
+    """
+    from opencv_contrib_tpu.features import detect, describe, match
+    from opencv_contrib_tpu.mvg import resection
+    from opencv_contrib_tpu.ba import bundle
+    from opencv_contrib_tpu.core import camera as cam
+    from opencv_contrib_tpu.utils.synthetic import generate_scene
+
+    rng = np.random.default_rng(0)
+    # smooth random texture, shifted per frame (plane scene, constant flow)
+    base = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    for ax in (0, 1):
+        base = (base + np.roll(base, 1, ax) + np.roll(base, 2, ax)
+                + np.roll(base, 4, ax)) / 4.0
+    base = (base - base.min()) / (base.max() - base.min()) * 255.0
+    imgs = jnp.asarray(np.stack([np.roll(base, 3 * i, axis=1)
+                                 for i in range(n_frames + 1)]))
+    intr = jnp.asarray(cam.make_intrinsics(500.0, 500.0, W / 2, H / 2))
+
+    @jax.jit
+    def pipeline(imgs):
+        def frontend(img):
+            k = detect.fast_hessian(img, max_keypoints=K, threshold=20.0)
+            d = describe.surf_describe(img, k)
+            xy = jnp.stack([k.x, k.y], axis=1)
+            return d, k.valid, xy
+
+        d0, v0, xy0 = frontend(imgs[0])
+        # synthetic 3D for the previous keyframe: backproject at unit depth
+        def lift(xy):
+            xn = cam.normalize_points(intr, xy)
+            return jnp.concatenate([xn, jnp.ones((K, 1))], axis=1)
+
+        def step(carry, img):
+            prev_d, prev_v, prev_xyz = carry
+            d, v, xy = frontend(img)
+            m = match.ratio_test_match(prev_d, d, prev_v, v, ratio=0.85)
+            x2d = xy[m.train_idx]  # (K, 2) matched current-frame pixels
+            xn = cam.normalize_points(intr, x2d)
+            ok = m.valid & prev_v
+            R0, t0 = resection.pnp_dlt(prev_xyz, xn, mask=ok)
+            R, t, _ = resection.refine_pose(R0, t0, prev_xyz, xn, ok, iters=5)
+            return (d, v, lift(xy)), (t, jnp.sum(ok))
+
+        _, (ts, n_ok) = jax.lax.scan(step, (d0, v0, lift(xy0)), imgs[1:])
+        return ts, n_ok
+
+    t_frames = _time_jit(pipeline, imgs)
+
+    scene = generate_scene(n_views=16, n_points=2048, seed=0)
+    noisy = scene.points3d + rng.normal(scale=0.02, size=(2048, 3)).astype(np.float32)
+    prob = bundle.make_problem_from_scene(
+        scene.Rs, scene.ts, noisy, scene.intr, scene.points2d, scene.visible)
+    n_ba = 10
+    t_ba = _time_jit(lambda p: bundle.bundle_adjust(p, n_iters=n_ba).final_cost, prob)
+
+    keyframes_per_s = n_frames / (t_frames + t_ba)
+    ba_iters_per_s = n_ba / t_ba
+    return keyframes_per_s, ba_iters_per_s
+
+
 def main():
     from opencv_contrib_tpu.ops.pallas import matching as pm
     from opencv_contrib_tpu.features import match as xm
@@ -74,6 +150,8 @@ def main():
     if _PROFILE_DIR:
         jax.profiler.stop_trace()
 
+    keyframes_per_s, ba_iters_per_s = bench_keyframes()
+
     pairs_per_s = n_query * n_train / t_pallas
     print(
         json.dumps(
@@ -82,6 +160,10 @@ def main():
                 "value": pairs_per_s,
                 "unit": "pairs/s",
                 "vs_baseline": t_xla / t_pallas,
+                "extra": {
+                    "keyframes_per_s_vga_512kp": round(keyframes_per_s, 2),
+                    "ba_iters_per_s_16x2048": round(ba_iters_per_s, 2),
+                },
             }
         )
     )

@@ -112,7 +112,8 @@ def _per_obs_jacobians(cameras, points, intr, obs, mask, optimize_intr: bool):
     return r, Jc, Jp, Ji
 
 
-def _solve_schur(r, Jc, Jp, lam, cam_free, pt_free, Ji=None, intr_sel=None):
+def _solve_schur(r, Jc, Jp, lam, cam_free, pt_free, Ji=None, intr_sel=None,
+                 intr_tie=None):
     """One damped Schur step. cam_free (C,) and pt_free (P,) gate updates
     (gauge fixing / constant blocks). When Ji (C,P,2,9) is given, the shared
     intrinsics enter the reduced system as one extra global block (the packed
@@ -154,6 +155,10 @@ def _solve_schur(r, Jc, Jp, lam, cam_free, pt_free, Ji=None, intr_sel=None):
     if Ji is not None:
         # intrinsics as an extra global block of the reduced system
         sel = intr_sel.astype(r.dtype) if intr_sel is not None else jnp.ones(9, r.dtype)
+        if intr_tie is not None:
+            # reduced parameterization (e.g. fx/fy tied to one focal):
+            # columns of Ji combined by the tie matrix; solve in q-space
+            Ji = jnp.einsum("cpka,ab->cpkb", Ji, intr_tie)
         Ji = Ji * sel[None, None, None, :]
         A_ii = jnp.einsum("cpki,cpkj->ij", Ji, Ji)  # (9, 9)
         A_ci = jnp.einsum("cpki,cpkj->cij", Jc, Ji)  # (C, 6, 9)
@@ -177,12 +182,14 @@ def _solve_schur(r, Jc, Jp, lam, cam_free, pt_free, Ji=None, intr_sel=None):
         frhs = jnp.concatenate([rhs.reshape(-1), rhs_i])
         sol = jnp.linalg.solve(full + 1e-9 * jnp.eye(n + 9), frhs)
         dcam = sol[:n].reshape(C, 6)
-        dintr = sol[n:] * sel
+        dq = sol[n:] * sel  # reduced(q)-space intrinsics update
         dpt = jnp.einsum(
             "pij,pj->pi",
             Vinv,
-            bp - jnp.einsum("cpij,ci->pj", W, dcam) - jnp.einsum("pij,i->pj", Bi, dintr),
+            bp - jnp.einsum("cpij,ci->pj", W, dcam) - jnp.einsum("pij,i->pj", Bi, dq),
         )
+        # map back to the full parameter space (broadcast tied components)
+        dintr = dq if intr_tie is None else intr_tie @ dq
     else:
         Sd = Sm.reshape(n, n)
         dcam = jnp.linalg.solve(Sd + 1e-9 * jnp.eye(n), rhs.reshape(-1)).reshape(C, 6)
@@ -289,8 +296,14 @@ def bundle_adjust(
         return cost(cams, pts, it, obs, mask)
 
     # which intrinsic components BA may move (f, c, k1, k2 — the common
-    # BUNDLE_FOCAL_LENGTH | BUNDLE_PRINCIPAL_POINT | BUNDLE_RADIAL choice)
-    intr_sel = jnp.array([1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+    # BUNDLE_FOCAL_LENGTH | BUNDLE_PRINCIPAL_POINT | BUNDLE_RADIAL choice).
+    # fx/fy are TIED to one shared focal parameter (the reference's
+    # BUNDLE_FOCAL_LENGTH is a single f, bundle.cc:80-84): slot 0 carries
+    # the shared focal direction, slot 1 is pinned, and the update is
+    # broadcast back to both components below.
+    intr_sel = jnp.array([1.0, 0.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+    # tie matrix T: param-space perturbation = T @ reduced-space q
+    intr_tie = jnp.eye(9).at[1, 0].set(1.0).at[1, 1].set(0.0)
 
     # Solver choice (measured on v5e, dense obs grid): the explicit Schur
     # formation is MXU-fast and everything is O(C*P) bandwidth-bound in the
@@ -316,6 +329,7 @@ def bundle_adjust(
                 r, Jc, Jp, lam, cam_free, pt_free,
                 Ji=Ji if optimize_intr else None,
                 intr_sel=intr_sel if optimize_intr else None,
+                intr_tie=intr_tie if optimize_intr else None,
             )
         new_cams = cams + dcam
         new_pts = pts + dpt

@@ -17,6 +17,7 @@ with registered/valid masks — repeated calls hit the same compiled programs.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
 import jax
@@ -100,20 +101,25 @@ def initialize_two_view(
     tracks: TracksTensor, intr: np.ndarray, i: int, j: int, key=None
 ) -> Reconstruction:
     """Two-frame Euclidean init (initialize_reconstruction.cc:53-94):
-    robust F -> E -> cheirality-selected (R, t); camera i at identity."""
+    robust F -> E -> cheirality-selected (R, t); camera i at identity.
+
+    Static shapes: all device work runs over the full (T,) track axis with
+    the common-visibility mask — repeated calls on any view pair reuse one
+    compiled program regardless of how many tracks the pair shares."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    common = tracks.common_tracks(i, j)
-    x1 = jnp.asarray(tracks.obs[i, common])
-    x2 = jnp.asarray(tracks.obs[j, common])
-    res = robust.fundamental_8pt_robust(key, x1, x2, threshold_px=1.5)
+    m = jnp.asarray(tracks.mask[i] & tracks.mask[j])
+    x1 = jnp.asarray(tracks.obs[i])
+    x2 = jnp.asarray(tracks.obs[j])
+    res = robust.fundamental_8pt_robust(key, x1, x2, threshold_px=1.5, mask=m)
     F = res.model
     K = cam.intrinsics_to_K(jnp.asarray(intr))
     E = fundamental.project_to_essential(fundamental.essential_from_fundamental(F, K, K))
     Rs4, ts4 = fundamental.motions_from_essential(E)
-    x1n = cam.normalize_points(jnp.asarray(intr), x1)
-    x2n = cam.normalize_points(jnp.asarray(intr), x2)
-    R, t, _ = fundamental.choose_motion_cheirality(Rs4, ts4, x1n, x2n, res.inliers)
+    x1n = _undistort_normalize(jnp.asarray(intr), x1)
+    x2n = _undistort_normalize(jnp.asarray(intr), x2)
+    inl = res.inliers & m
+    R, t, _ = fundamental.choose_motion_cheirality(Rs4, ts4, x1n, x2n, inl)
 
     V, T = tracks.n_views, tracks.n_tracks
     rec = Reconstruction(
@@ -128,14 +134,13 @@ def initialize_two_view(
     rec.ts[j] = np.asarray(t)
     rec.registered[i] = rec.registered[j] = True
 
-    # triangulate the inlier tracks
+    # triangulate the inlier tracks; keep points in front of both cameras
     X = triangulation.triangulate_midpoint_two_view(x1n, x2n, R, t)
-    # keep points in front of both cameras
     z1 = np.asarray(X[:, 2])
     Xc2 = np.asarray(se3.rotate_points(R, X) + t)
-    ok = np.asarray(res.inliers) & (z1 > 1e-3) & (Xc2[:, 2] > 1e-3)
-    rec.points[common[ok]] = np.asarray(X)[ok]
-    rec.has_point[common[ok]] = True
+    ok = np.asarray(inl) & (z1 > 1e-3) & (Xc2[:, 2] > 1e-3)
+    rec.points[ok] = np.asarray(X)[ok]
+    rec.has_point[ok] = True
     rec.log.append(("init", i, j, int(ok.sum())))
     return rec
 
@@ -159,39 +164,60 @@ def _run_bundle(rec: Reconstruction, tracks: TracksTensor, n_iters: int = 12, op
         rec.intr = np.asarray(out.intr)
 
 
+def _undistort_normalize(intr, px):
+    """Pixels -> undistorted normalized camera coords (libmv's
+    InvertIntrinsics / libmv_getNormalizedTracks role, libmv_capi.h:284)."""
+    return cam.undistort(intr, cam.normalize_points(intr, px))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _intersect_batch(obs, cand_mask, Rs, ts, intr, max_err_px, iters=5):
+    """Device program for _intersect_new_tracks: triangulate ALL tracks over
+    the full (T, V) grid and report per-track acceptance. Static shapes —
+    one compile serves every pipeline round.
+
+    Triangulation runs on undistorted normalized coords with P = [R|t]
+    (distorted pixels through a K-only DLT would be biased); acceptance
+    reprojects through the full distortion model."""
+    xn = _undistort_normalize(intr, obs)  # (V, T, 2)
+    Ps = jax.vmap(lambda R, t: jnp.concatenate([R, t[:, None]], axis=1))(Rs, ts)
+    pts2d = jnp.transpose(xn, (1, 0, 2))  # (T, V, 2)
+    m = jnp.transpose(cand_mask)  # (T, V)
+    X = triangulation.triangulate_points_refined(pts2d, Ps, m, iters=iters)
+    # acceptance: positive depth in every observing view, and MEDIAN
+    # reprojection error under threshold. A per-view veto would deadlock:
+    # one weak tail pose rejects the track, and that view can never
+    # register because its tracks stay missing. The reference keeps every
+    # triangulable track and lets bundle adjustment settle it
+    # (pipeline.cc:151-181); the median gate only rejects genuinely bad
+    # triangulations.
+    px, z = jax.vmap(lambda R, t: cam.project(intr, R, t, X))(Rs, ts)  # (V,T,2),(V,T)
+    err = jnp.linalg.norm(px - obs, axis=-1)  # (V, T)
+    cheir_ok = jnp.all((~cand_mask) | (z > 1e-3), axis=0)
+    n_obs = jnp.maximum(jnp.sum(cand_mask, axis=0), 1)  # (T,)
+    err_sorted = jnp.sort(jnp.where(cand_mask, err, jnp.inf), axis=0)  # (V, T)
+    med = jnp.take_along_axis(err_sorted, (n_obs[None, :] - 1) // 2, axis=0)[0]
+    ok = cheir_ok & (med < max_err_px)
+    return X, ok
+
+
 def _intersect_new_tracks(rec: Reconstruction, tracks: TracksTensor, min_views: int = 2, max_err_px: float = 4.0) -> int:
     """Triangulate all unreconstructed tracks with >= min_views registered
     observations (EuclideanIntersect over the batch, pipeline.cc:151-181)."""
     cand_mask = tracks.mask & rec.registered[:, None]
     n_views_per_track = cand_mask.sum(axis=0)
     todo = (~rec.has_point) & (n_views_per_track >= min_views)
-    ids = np.flatnonzero(todo)
-    if len(ids) == 0:
+    if not todo.any():
         return 0
-    Ps = np.stack(
-        [
-            np.asarray(cam.projection_from_KRt(cam.intrinsics_to_K(jnp.asarray(rec.intr)), jnp.asarray(rec.Rs[v]), jnp.asarray(rec.ts[v])))
-            for v in range(tracks.n_views)
-        ]
+    X, ok = _intersect_batch(
+        jnp.asarray(tracks.obs), jnp.asarray(cand_mask),
+        jnp.asarray(rec.Rs), jnp.asarray(rec.ts), jnp.asarray(rec.intr),
+        jnp.float32(max_err_px),
     )
-    pts2d = jnp.asarray(tracks.obs[:, ids].transpose(1, 0, 2))
-    m = jnp.asarray(cand_mask[:, ids].T)
-    X = triangulation.triangulate_points_refined(pts2d, jnp.asarray(Ps), m, iters=5)
-    # acceptance: reprojection under threshold in every observing view, and
-    # positive depth (cheirality) in every observing view
-    Xn = np.asarray(X)
-    ok = np.ones(len(ids), bool)
-    err = np.zeros(len(ids), np.float32)
-    for v in range(tracks.n_views):
-        sel = cand_mask[v, ids]
-        if not sel.any():
-            continue
-        px, z = cam.project(jnp.asarray(rec.intr), jnp.asarray(rec.Rs[v]), jnp.asarray(rec.ts[v]), jnp.asarray(Xn))
-        e = np.linalg.norm(np.asarray(px) - tracks.obs[v, ids], axis=1)
-        ok &= ~sel | ((e < max_err_px) & (np.asarray(z) > 1e-3))
-    rec.points[ids[ok]] = Xn[ok]
-    rec.has_point[ids[ok]] = True
-    return int(ok.sum())
+    accept = np.asarray(ok) & todo
+    rec.points[accept] = np.asarray(X)[accept]
+    rec.has_point[accept] = True
+    return int(accept.sum())
 
 
 def _resect_new_views(rec: Reconstruction, tracks: TracksTensor, min_points: int = 5, key=None) -> int:
@@ -200,19 +226,23 @@ def _resect_new_views(rec: Reconstruction, tracks: TracksTensor, min_points: int
     if key is None:
         key = jax.random.PRNGKey(1)
     n_new = 0
+    X_all = jnp.asarray(rec.points)
+    intr_j = jnp.asarray(rec.intr)
     for v in range(tracks.n_views):
         if rec.registered[v]:
             continue
-        corr = np.flatnonzero(tracks.mask[v] & rec.has_point)
-        if len(corr) < max(min_points, 6):
+        corr_mask = tracks.mask[v] & rec.has_point
+        if corr_mask.sum() < max(min_points, 6):
             continue
-        X = jnp.asarray(rec.points[corr])
-        xn = cam.normalize_points(jnp.asarray(rec.intr), jnp.asarray(tracks.obs[v, corr]))
-        rres = robust.pnp_robust(key, X, xn, threshold=0.01)
+        # full-(T,) masked resection: one compiled program for every view
+        m = jnp.asarray(corr_mask)
+        xn = _undistort_normalize(intr_j, jnp.asarray(tracks.obs[v]))
+        rres = robust.pnp_robust(key, X_all, xn, threshold=0.01, mask=m)
         if int(rres.n_inliers) < max(min_points, 6):
             continue
         Rt = rres.model
-        R, t, _ = resection.refine_pose(Rt[:, :3], Rt[:, 3], X, xn, rres.inliers, iters=10)
+        R, t, _ = resection.refine_pose(
+            Rt[:, :3], Rt[:, 3], X_all, xn, rres.inliers & m, iters=10)
         rec.Rs[v] = np.asarray(R)
         rec.ts[v] = np.asarray(t)
         rec.registered[v] = True
@@ -259,6 +289,13 @@ def reconstruct_incremental(
 
     with trace_span("sfm.final_bundle"):
         if refine_intrinsics:
-            _run_bundle(rec, tracks, n_iters=15, optimize_intr=True)
+            # alternate intrinsics refinement with re-intersection: tracks
+            # rejected under the initial distortion estimate may triangulate
+            # cleanly once the intrinsics settle (libmv_solveRefineIntrinsics
+            # then completes the reconstruction, libmv_capi.h:308)
+            for _ in range(2):
+                _run_bundle(rec, tracks, n_iters=15, optimize_intr=True)
+                if _intersect_new_tracks(rec, tracks) == 0:
+                    break
         _run_bundle(rec, tracks, n_iters=15)
     return rec

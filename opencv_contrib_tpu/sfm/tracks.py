@@ -114,6 +114,33 @@ def build_tracks(
     return TracksTensor(obs=obs, mask=mask)
 
 
+def load_blender_tracks(path: str) -> TracksTensor:
+    """Load a Blender-exported track file (the reference's sample data
+    format: desktop_tracks.txt / backyard_tracks.txt).
+
+    One line per track; each line is "x0 y0 x1 y1 ..." pairs, one pair per
+    frame; (-1, -1) marks the track invisible in that frame. Parity with
+    parser_2D_tracks (sfm/test/test_common.cpp:79 — markers kept only when
+    x > 0 && y > 0)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            vals = np.asarray(parts, dtype=np.float64) if parts else np.empty(0)
+            if vals.size:
+                rows.append(vals.reshape(-1, 2))
+    n_frames = max(r.shape[0] for r in rows)
+    T = len(rows)
+    obs = np.zeros((n_frames, T, 2), np.float32)
+    mask = np.zeros((n_frames, T), bool)
+    for t, r in enumerate(rows):
+        valid = (r[:, 0] > 0) & (r[:, 1] > 0)
+        obs[: r.shape[0], t] = r.astype(np.float32)
+        mask[: r.shape[0], t] = valid
+    obs[~mask] = 0.0
+    return TracksTensor(obs=obs, mask=mask)
+
+
 def from_observation_list(n_views: int, markers: np.ndarray) -> TracksTensor:
     """Build from (image, track, x, y) marker rows — the parser for the
     reference's Blender-style track files (parser_2D_tracks,
