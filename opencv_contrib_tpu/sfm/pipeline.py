@@ -55,6 +55,22 @@ class Reconstruction:
             bundle.rms_reprojection_error(prob.cameras, prob.points, prob.intr, prob.obs, prob.mask)
         )
 
+    def reprojection_mean(self, tracks: TracksTensor) -> float:
+        """MEAN of per-marker Euclidean reprojection errors over markers of
+        reconstructed (camera, point) pairs — the reference's error metric
+        (InternalReprojectionError, pipeline.cc:266-318: total_error /
+        num_reprojected), which its 1.4 px pipeline gate is stated in
+        (test_simple_pipeline.cpp:82)."""
+        mask = tracks.mask & self.registered[:, None] & self.has_point[None, :]
+        if mask.sum() == 0:
+            return float("inf")
+        prob = bundle.make_problem_from_scene(
+            self.Rs, self.ts, self.points, self.intr, tracks.obs, mask
+        )
+        r = bundle.residuals(prob.cameras, prob.points, prob.intr, prob.obs, prob.mask)
+        e = jnp.linalg.norm(r, axis=-1)
+        return float(jnp.sum(e) / jnp.maximum(jnp.sum(prob.mask), 1))
+
 
 def gric_scores(x1: np.ndarray, x2: np.ndarray, img_shape=(480, 640)) -> tuple[float, float]:
     """GRIC(H) and GRIC(F) for an image pair (keyframe_selection.cc:59-76).
@@ -201,7 +217,7 @@ def _intersect_batch(obs, cand_mask, Rs, ts, intr, max_err_px, iters=5):
     return X, ok
 
 
-def _intersect_new_tracks(rec: Reconstruction, tracks: TracksTensor, min_views: int = 2, max_err_px: float = 4.0) -> int:
+def _intersect_new_tracks(rec: Reconstruction, tracks: TracksTensor, min_views: int = 2, max_err_px: float = 16.0) -> int:
     """Triangulate all unreconstructed tracks with >= min_views registered
     observations (EuclideanIntersect over the batch, pipeline.cc:151-181)."""
     cand_mask = tracks.mask & rec.registered[:, None]

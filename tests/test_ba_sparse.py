@@ -50,7 +50,7 @@ def test_sparse_padding_rows_inert(noisy_problem):
         sp.cameras, sp.points, sp.intr,
         jnp.concatenate([sp.obs_cam, jnp.zeros(pad, jnp.int32)]),
         jnp.concatenate([sp.obs_pt, jnp.zeros(pad, jnp.int32)]),
-        jnp.concatenate([sp.obs_uv, jnp.full((pad, 2), 123.0, jnp.float32)]),
+        jnp.concatenate([sp.obs_uv, jnp.full((2, pad), 123.0, jnp.float32)], axis=1),
         jnp.concatenate([sp.obs_ok, jnp.zeros(pad, bool)]),
     )
     r1 = sparse.bundle_adjust_sparse(sp, n_iters=5)
@@ -93,7 +93,7 @@ def test_sparse_moderate_scale_cpu():
     noisy = pts + rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
     prob = sparse.SparseBAProblem(
         jnp.asarray(cams6), jnp.asarray(noisy), jnp.asarray(scene.intr),
-        jnp.asarray(obs_cam), jnp.asarray(obs_pt), uv,
+        jnp.asarray(obs_cam), jnp.asarray(obs_pt), uv.T,
         jnp.asarray(obs_ok))
     res = sparse.bundle_adjust_sparse(prob, n_iters=8, n_cg=20)
     assert float(res.final_cost) < float(res.initial_cost) * 1e-2
