@@ -17,10 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-if not os.environ.get("OCV_TPU_NO_CACHE"):
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("OCV_TPU_CACHE", "/root/repo/.jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from opencv_contrib_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 # optional device profile capture (ROADMAP "jax.profiler trace capture in
 # bench"): BENCH_PROFILE=/path/to/logdir wraps the timed section in a trace

@@ -69,8 +69,11 @@ class KinFuParams:
 
 
 def _raycast_pyramid(volume, intr, T_cw, shape, levels, depth_max, n_coarse=None):
+    import numpy as _np
+    big = int(_np.prod(volume.tsdf.shape)) > 256 ** 3
     pts, nrm, valid = tsdf_mod.raycast(volume, intr, T_cw, shape=shape,
-                                       depth_max=depth_max, n_coarse=n_coarse)
+                                       depth_max=depth_max, n_coarse=n_coarse,
+                                       n_fine=8 if big else 12)
     frames = []
     p_l, n_l, v_l = pts, nrm, valid
     depth_l = p_l[..., 2]

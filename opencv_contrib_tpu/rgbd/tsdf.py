@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from opencv_contrib_tpu.core import se3
 
@@ -437,6 +438,9 @@ def raycast(
     depth_min: float = 0.1,
     depth_max: float = 4.0,
     n_coarse: int | None = None,
+    normals: str = "auto",
+    coarse_sub: int | None = None,
+    n_fine: int = 12,
 ):
     """March all camera rays through the volume; detect the +/- zero
     crossing; linear-interpolate the hit; normals from the TSDF gradient
@@ -447,14 +451,32 @@ def raycast(
     surfaces are skipped. When `vol.trunc_dist` is concrete (not under an
     outer jit trace) `n_coarse` is derived from it automatically; callers
     tracing this inside their own jit (e.g. the KinFu fused tick) should
-    pass `n_coarse` explicitly via `coarse_steps_for(...)`."""
+    pass `n_coarse` explicitly via `coarse_steps_for(...)`.
+
+    normals: 'gradient' samples the trilinear TSDF gradient at the hits
+    (tsdf.cpp:337 parity) — it builds a 16-channel corner table of the
+    whole volume, 16 bytes/voxel (8 GB at 512^3, fine through 256^3).
+    'screen' derives normals from the raycast point map's screen-space
+    derivatives (pure elementwise, O(H*W)) — the reference-scale-volume
+    path. 'auto' picks gradient below 256^3-equivalent voxel counts."""
     if n_coarse is None:
         n_coarse = min(n_steps, max(16, n_steps // 4))
         if not isinstance(vol.trunc_dist, jax.core.Tracer):
             need = coarse_steps_for(float(vol.trunc_dist), depth_min, depth_max)
             n_coarse = min(n_steps, max(n_coarse, need))
+    if normals == "auto":
+        # gradient normals build a 16 B/voxel corner table: free at 128^3
+        # (33 MB) but a 1 GB/tick rebuild at 256^3 and 8 GB (OOM) at 512^3
+        n_vox = int(np.prod(vol.tsdf.shape))
+        normals = "gradient" if n_vox <= 8 * 1024 ** 2 else "screen"
+    if coarse_sub is None:
+        # the coarse pass costs rays/cs^2 * n_coarse row-gathers — the
+        # raycast hot spot; big volumes (high n_coarse) take the wider
+        # 1/16-ray bracket pass + dilation
+        coarse_sub = 4 if (int(np.prod(vol.tsdf.shape)) > 256 ** 3
+                           and shape[0] % 4 == 0 and shape[1] % 4 == 0) else 2
     return _raycast_impl(vol, intr, T_cw, shape, n_steps, depth_min, depth_max,
-                         int(n_coarse))
+                         int(n_coarse), normals, int(coarse_sub), int(n_fine))
 
 
 def coarse_steps_for(trunc_dist: float, depth_min: float = 0.1,
@@ -465,7 +487,7 @@ def coarse_steps_for(trunc_dist: float, depth_min: float = 0.1,
     return int(math.ceil((depth_max - depth_min) / max(trunc_dist, 1e-6))) + 1
 
 
-@partial(jax.jit, static_argnames=("shape", "n_steps", "depth_min", "depth_max", "n_coarse"))
+@partial(jax.jit, static_argnames=("shape", "n_steps", "depth_min", "depth_max", "n_coarse", "normals", "coarse_sub", "n_fine"))
 def _raycast_impl(
     vol: TSDFVolume,
     intr: jnp.ndarray,
@@ -475,6 +497,9 @@ def _raycast_impl(
     depth_min: float,
     depth_max: float,
     n_coarse: int,
+    normals: str = "gradient",
+    coarse_sub: int = 2,
+    n_fine: int = 12,
 ):
     H, W = shape
     T_wc = se3.inverse(T_cw)
@@ -502,8 +527,7 @@ def _raycast_impl(
     # full-res inside the widened bracket. Rays whose own coarse cell had
     # no crossing keep no midpoint fallback (a dilated bracket without a
     # fine crossing is a silhouette edge, not a surface).
-    n_fine = 12
-    cs = 2 if (H % 2 == 0 and W % 2 == 0) else 1
+    cs = coarse_sub if (H % coarse_sub == 0 and W % coarse_sub == 0) else 1
     Hc, Wc = H // cs, W // cs
     dirs_lo = dirs[::cs, ::cs]
     dz = (depth_max - depth_min) / n_coarse
@@ -565,7 +589,24 @@ def _raycast_impl(
     valid = valid & (has_f | own)
 
     pts_world = origin[None, None] + dirs * zhit[..., None]
-    normals_world = sample_gradient(vol, pts_world)
+    if normals == "gradient":
+        normals_world = sample_gradient(vol, pts_world)
+    else:
+        # screen-space normals: cross of the point map's edge-replicated
+        # forward differences, oriented toward the camera — O(H*W)
+        # elementwise, no volume-sized corner table
+        def fdiff(a, axis):
+            d = jnp.diff(a, axis=axis)
+            last = jnp.take(d, jnp.array([-1]), axis=axis)
+            return jnp.concatenate([d, last], axis=axis)
+
+        dpv = fdiff(pts_world, 0)
+        dpu = fdiff(pts_world, 1)
+        n = jnp.cross(dpv, dpu)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        # orient against the viewing ray
+        flip = jnp.sign(jnp.sum(n * dirs, axis=-1, keepdims=True))
+        normals_world = -n * jnp.where(flip == 0, 1.0, flip)
     # to camera frame
     R_cw, t_cw = se3.mat_to_rt(T_cw)
     pts_cam = jnp.einsum("ij,hwj->hwi", R_cw, pts_world) + t_cw

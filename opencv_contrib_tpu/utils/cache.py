@@ -17,6 +17,16 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(
 def enable_compile_cache(path: str | None = None):
     if os.environ.get("OCV_TPU_NO_CACHE"):
         return
+    # TPU backends only: XLA:CPU AOT results bake in the compiling host's
+    # machine features (avx512 sets, prefer-no-gather, ...), and reloading
+    # them on a different host warns about — and can SIGILL on — the
+    # mismatch. CPU compiles are fast anyway; cache only device programs.
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "unknown"
+    if platform == "cpu":
+        return
     jax.config.update("jax_compilation_cache_dir",
                       path or os.environ.get("OCV_TPU_CACHE", _DEFAULT))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
