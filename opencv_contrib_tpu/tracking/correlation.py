@@ -38,10 +38,13 @@ def _gaussian_response(shape, sigma_factor: float = 0.1):
     return jnp.roll(g, (-(H // 2), -(W // 2)), axis=(0, 1))
 
 
-def _crop(img, center_yx, shape):
+def _crop(img, center_yx, shape, scale=1.0):
+    """Crop a (shape * scale) window resized to `shape` — crop + resize as
+    ONE bilinear gather (scale=1 is the plain crop). With a DSST scale
+    state the translation filter tracks in scale-normalized space."""
     H, W = shape
-    y = center_yx[0] + jnp.arange(H, dtype=jnp.float32) - H / 2 + 0.5
-    x = center_yx[1] + jnp.arange(W, dtype=jnp.float32) - W / 2 + 0.5
+    y = center_yx[0] + (jnp.arange(H, dtype=jnp.float32) - H / 2 + 0.5) * scale
+    x = center_yx[1] + (jnp.arange(W, dtype=jnp.float32) - W / 2 + 0.5) * scale
     return sample_bilinear(img, y[:, None] * jnp.ones((1, W)), jnp.ones((H, 1)) * x[None, :])
 
 
@@ -136,8 +139,9 @@ def kcf_init(img, center_yx, size=(64, 64), sigma: float = 0.2, lam: float = 1e-
 
 
 @partial(jax.jit, static_argnames=("sigma", "lam", "lr"))
-def kcf_update(state: KcfState, img, sigma: float = 0.2, lam: float = 1e-4, lr: float = 0.075):
-    patch = _preprocess(_crop(img, state.center, state.size))
+def kcf_update(state: KcfState, img, sigma: float = 0.2, lam: float = 1e-4, lr: float = 0.075,
+               scale=1.0):
+    patch = _preprocess(_crop(img, state.center, state.size, scale))
     zf = jnp.fft.fft2(patch)
     k = _gauss_kernel_corr(state.xf, zf, sigma)
     resp = jnp.fft.ifft2(state.alpha_f * jnp.fft.fft2(k)).real
@@ -146,9 +150,10 @@ def kcf_update(state: KcfState, img, sigma: float = 0.2, lam: float = 1e-4, lr: 
     py, px = idx // W, idx % W
     dy = jnp.where(py > H // 2, py - H, py).astype(jnp.float32)
     dx = jnp.where(px > W // 2, px - W, px).astype(jnp.float32)
-    center = state.center + jnp.stack([dy, dx])
+    # displacement measured in scale-normalized pixels -> image pixels
+    center = state.center + jnp.stack([dy, dx]) * scale
 
-    patch2 = _preprocess(_crop(img, center, state.size))
+    patch2 = _preprocess(_crop(img, center, state.size, scale))
     xf_new = jnp.fft.fft2(patch2)
     k2 = _gauss_kernel_corr(xf_new, xf_new, sigma)
     alpha_new = state.G / (jnp.fft.fft2(k2) + lam)

@@ -115,8 +115,8 @@ class CsrtState(NamedTuple):
     G: jnp.ndarray
 
 
-def _learn(img, center, target_hw, size, G):
-    patch = _crop(img, center, size)
+def _learn(img, center, target_hw, size, G, scale=1.0):
+    patch = _crop(img, center, size, scale)
     feats = _features(patch)
     mask = _spatial_reliability(patch, target_hw, size)
     h_f = _admm_filter(jnp.fft.fft2(feats), G, mask)
@@ -135,23 +135,38 @@ def csrt_init(img, center_yx, target_hw=(32, 32), size=(64, 64)) -> CsrtState:
 
 
 @partial(jax.jit, static_argnames=("lr",))
-def csrt_update(state: CsrtState, img, lr: float = 0.02):
+def csrt_update(state: CsrtState, img, lr: float = 0.02, scale=1.0):
     """One CSRT step: channel-weighted localization then constrained-filter
-    re-learning at the new position. Returns (new_state, peak_response)."""
+    re-learning at the new position; with a scale the window is sampled at
+    (size * scale) and tracked in scale-normalized space.
+    Returns (new_state, peak_response)."""
     size = state.h_f.shape[1:]
     H, W = size
-    patch = _crop(img, state.center, size)
+    patch = _crop(img, state.center, size, scale)
     feats = _features(patch)
     resp_c = jnp.fft.ifft2(state.h_f * jnp.fft.fft2(feats)).real
     # detection reliability scales learned weights (estimate_new_position)
     resp = (resp_c * state.chan_w[:, None, None]).sum(0)
     idx = jnp.argmax(resp)
     py, px = idx // W, idx % W
-    dy = jnp.where(py > H // 2, py - H, py).astype(jnp.float32)
-    dx = jnp.where(px > W // 2, px - W, px).astype(jnp.float32)
-    center = state.center + jnp.stack([dy, dx])
+    # sub-pixel parabolic peak interpolation (the DSST scale filter's
+    # pixel-feature rows decorrelate with whole-pixel localization error)
+    r0 = resp[py, px]
+    ry1 = resp[(py + 1) % H, px]
+    rym = resp[(py - 1) % H, px]
+    rx1 = resp[py, (px + 1) % W]
+    rxm = resp[py, (px - 1) % W]
+    sub_y = 0.5 * (rym - ry1) / jnp.where(
+        jnp.abs(rym - 2 * r0 + ry1) > 1e-9, rym - 2 * r0 + ry1, 1e-9)
+    sub_x = 0.5 * (rxm - rx1) / jnp.where(
+        jnp.abs(rxm - 2 * r0 + rx1) > 1e-9, rxm - 2 * r0 + rx1, 1e-9)
+    sub_y = jnp.clip(sub_y, -0.5, 0.5)
+    sub_x = jnp.clip(sub_x, -0.5, 0.5)
+    dy = jnp.where(py > H // 2, py - H, py).astype(jnp.float32) + sub_y
+    dx = jnp.where(px > W // 2, px - W, px).astype(jnp.float32) + sub_x
+    center = state.center + jnp.stack([dy, dx]) * scale
 
-    h_new, w_new = _learn(img, center, state.target_hw, size, state.G)
+    h_new, w_new = _learn(img, center, state.target_hw, size, state.G, scale)
     h_f = (1 - lr) * state.h_f + lr * h_new
     chan_w = (1 - lr) * state.chan_w + lr * w_new
     peak = resp.reshape(-1)[idx]

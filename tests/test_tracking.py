@@ -238,3 +238,64 @@ class TestTrackerByMatching:
         for _ in range(4):
             out = trk.process(np.zeros((0, 4), np.float32))
         assert out == []
+
+
+class TestDsstScale:
+    """DSST scale estimation (trackerCSRT.cpp:131's scale module + the
+    DSST scale pyramid): a zoom sequence where translation-only trackers
+    keep the stale box and the scale-adaptive path holds IoU."""
+
+    @staticmethod
+    def _zoom_frames(rng, n=20, lo=24, hi=48, H=160, W=160):
+        from PIL import Image
+        tex = rng.uniform(0.2, 1.0, (64, 64)).astype(np.float32)
+        sizes = np.linspace(lo, hi, n).astype(int)
+        frames = []
+        for sz in sizes:
+            img = np.full((H, W), 0.1, np.float32)
+            t = np.asarray(Image.fromarray((tex * 255).astype(np.uint8))
+                           .resize((int(sz), int(sz)))) / 255.0
+            y0, x0 = H // 2 - sz // 2, W // 2 - sz // 2
+            img[y0:y0 + sz, x0:x0 + sz] = t
+            frames.append(img)
+        return frames, sizes
+
+    @staticmethod
+    def _iou(a, b):
+        inter = min(a, b) ** 2
+        return inter / (a * a + b * b - inter)
+
+    def test_csrt_scale_holds_iou_on_zoom(self, rng):
+        from opencv_contrib_tpu.tracking import dsst
+
+        frames, sizes = self._zoom_frames(rng)
+        st = dsst.csrt_scale_init(jnp.asarray(frames[0]), (80.0, 80.0),
+                                  target_hw=(int(sizes[0]), int(sizes[0])))
+        for f in frames[1:]:
+            st, (c, box), _ = dsst.csrt_scale_update(st, jnp.asarray(f))
+        est, true = float(box[0]), float(sizes[-1])
+        assert self._iou(est, true) > 0.7
+        # translation-only would keep the initial box: materially worse
+        assert self._iou(est, true) > self._iou(float(sizes[0]), true) + 0.2
+        assert abs(float(c[0]) - 80.0) < 4 and abs(float(c[1]) - 80.0) < 4
+
+    def test_kcf_scale_holds_iou_on_zoom(self, rng):
+        from opencv_contrib_tpu.tracking import dsst
+
+        frames, sizes = self._zoom_frames(rng, lo=28, hi=48)
+        st = dsst.kcf_scale_init(jnp.asarray(frames[0]), (80.0, 80.0),
+                                 target_hw=(int(sizes[0]), int(sizes[0])))
+        for f in frames[1:]:
+            st, (c, box), _ = dsst.kcf_scale_update(st, jnp.asarray(f))
+        est, true = float(box[0]), float(sizes[-1])
+        assert self._iou(est, true) > 0.6
+
+    def test_scale_stable_on_constant_size(self, rng):
+        from opencv_contrib_tpu.tracking import dsst
+
+        frames, sizes = self._zoom_frames(rng, lo=32, hi=32, n=12)
+        st = dsst.csrt_scale_init(jnp.asarray(frames[0]), (80.0, 80.0),
+                                  target_hw=(32, 32))
+        for f in frames[1:]:
+            st, (c, box), _ = dsst.csrt_scale_update(st, jnp.asarray(f))
+        assert 0.85 < float(st.dsst.scale) < 1.18
