@@ -177,3 +177,46 @@ class TestFuzzy:
         corrupted[mask] = 0.0
         out = np.asarray(fuzzy.f0_inpaint(jnp.asarray(corrupted), jnp.asarray(mask), radius=10))
         assert np.abs(out[mask] - img[mask]).mean() < 0.05
+
+
+class TestSinusoidalFtpFaps:
+    """FTP and FAPS demodulation (sinusoidalpattern.cpp:287,340): phase of
+    a synthetic deformed fringe recovered to <0.05 rad (both paths use the
+    reference's atan2(re, im) convention = -phase + const)."""
+
+    @staticmethod
+    def _scene():
+        H, W = 128, 160
+        yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        obj = 1.2 * np.exp(-(((yy - 64) / 30.0) ** 2 + ((xx - 80) / 40.0) ** 2))
+        true = 2 * np.pi * 12 * xx / W + obj
+        cap = jnp.asarray(np.stack(
+            [0.5 + 0.45 * np.cos(true + 2 * np.pi * k / 3) for k in range(3)]
+        ).astype(np.float32))
+        return cap, true
+
+    @staticmethod
+    def _err(est, true, sign=-1.0, margin=12):
+        d = np.angle(np.exp(1j * (np.asarray(est) - sign * true)))
+        d = d[margin:-margin, margin:-margin]
+        return np.abs(np.angle(np.exp(1j * (d - np.median(d))))).mean()
+
+    def test_ftp_phase_recovery(self):
+        from opencv_contrib_tpu.structured_light import sinusoidal as sl
+        cap, true = self._scene()
+        mask = sl.compute_shadow_mask(cap)
+        ftp = sl.compute_ftp_phase(cap[0], mask)
+        assert self._err(ftp, true) < 0.05
+
+    def test_faps_phase_recovery(self):
+        from opencv_contrib_tpu.structured_light import sinusoidal as sl
+        cap, true = self._scene()
+        faps = sl.compute_faps_phase(cap)
+        assert self._err(faps, true) < 0.05
+
+    def test_shadow_mask(self):
+        from opencv_contrib_tpu.structured_light import sinusoidal as sl
+        cap, _ = self._scene()
+        dark = cap.at[:, :20, :].set(0.0)
+        m = np.asarray(sl.compute_shadow_mask(dark))
+        assert not m[:18].any() and m[30:].mean() > 0.95
