@@ -11,7 +11,7 @@ from opencv_contrib_tpu.xphoto.white_balance import simple_wb, grayworld_wb
 from opencv_contrib_tpu.xphoto.denoise import dct_denoise
 from opencv_contrib_tpu.xphoto.artistic import oil_painting
 from opencv_contrib_tpu.xphoto.inpaint import inpaint_diffusion
-from opencv_contrib_tpu.xphoto.bm3d import bm3d_denoise
+from opencv_contrib_tpu.xphoto.bm3d import bm3d, bm3d_denoise, bm3d_denoise_step2
 from opencv_contrib_tpu.xphoto.learning_wb import fit_wb_model, learning_wb, wb_features
 
 __all__ = ["simple_wb", "grayworld_wb", "dct_denoise", "oil_painting", "inpaint_diffusion"]

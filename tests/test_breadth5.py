@@ -112,3 +112,42 @@ class TestGpc:
         # majority of collisions recover the true shift
         ok = (np.abs(dx - 3) <= 0.5) & (np.abs(dy) <= 0.5)
         assert ok.mean() > 0.7, ok.mean()
+
+
+class TestBm3dStep2:
+    """Step-2 Wiener collaborative filtering
+    (bm3d_denoising_invoker_step2.hpp)."""
+
+    @staticmethod
+    def _scene(rng, sigma):
+        x = np.zeros((96, 96), np.float32)
+        x[20:70, 15:60] = 0.7
+        x[40:90, 50:90] = np.linspace(0.2, 0.9, 40)[None, :]
+        noisy = np.clip(x + rng.normal(0, sigma, x.shape), 0, 1).astype(np.float32)
+        return x, jnp.asarray(noisy)
+
+    def test_full_profile_denoises(self, rng):
+        from opencv_contrib_tpu.xphoto.bm3d import bm3d, bm3d_denoise
+
+        sigma = 0.12
+        x, noisy = self._scene(rng, sigma)
+
+        def psnr(a):
+            return -10 * np.log10(np.mean((np.asarray(a) - x) ** 2))
+
+        p_noisy = psnr(noisy)
+        p_s1 = psnr(bm3d_denoise(noisy, sigma=sigma))
+        p_full = psnr(bm3d(noisy, sigma=sigma))
+        assert p_s1 > p_noisy + 5
+        assert p_full > p_noisy + 5
+        # the Wiener pass must not degrade the basic estimate materially
+        assert p_full > p_s1 - 0.4
+
+    def test_step2_is_identity_at_zero_noise(self, rng):
+        from opencv_contrib_tpu.xphoto.bm3d import bm3d_denoise_step2
+
+        x, _ = self._scene(rng, 0.0)
+        xj = jnp.asarray(x)
+        out = bm3d_denoise_step2(xj, xj, sigma=1e-4)
+        # w -> 1 for signal coefficients: near-perfect reconstruction
+        assert float(jnp.abs(out - xj).max()) < 1e-2
