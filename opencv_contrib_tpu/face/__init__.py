@@ -7,7 +7,7 @@ Facemark: cascaded shape regression (LBF/Kazemi class) with first-class
 training (face/src/facemarkLBF.cpp, face_alignment.cpp).
 """
 
-from opencv_contrib_tpu.face import facemark
+from opencv_contrib_tpu.face import aam, facemark
 from opencv_contrib_tpu.face.recognizers import (
     EigenFaces,
     FisherFaces,
@@ -16,4 +16,4 @@ from opencv_contrib_tpu.face.recognizers import (
 )
 from opencv_contrib_tpu.face.bif import bif_features
 
-__all__ = ["EigenFaces", "FisherFaces", "LBPH", "lbp_image", "facemark", "bif_features"]
+__all__ = ["EigenFaces", "FisherFaces", "LBPH", "aam", "lbp_image", "facemark", "bif_features"]
