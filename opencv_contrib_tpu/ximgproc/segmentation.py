@@ -164,13 +164,20 @@ def selective_search(img, base_k: float = 0.3, max_proposals: int = 64):
     return np.asarray(uniq[:max_proposals])
 
 
-def edge_boxes(img, boxes, beta: float = 0.75):
+def edge_boxes(img, boxes, beta: float = 0.75, edge_map=None):
     """EdgeBoxes-style objectness for candidate boxes (EdgeBoxes::getBoundingBoxes
     scoring): interior edge mass minus edges crossing the box boundary,
-    normalized by perimeter^beta. All boxes scored from two integral images."""
+    normalized by perimeter^beta. All boxes scored from two integral images.
+
+    edge_map: optional precomputed edge probability map (e.g. the learned
+    ximgproc.edge_forest.structured_edges, the reference's intended input);
+    defaults to gradient magnitude."""
     imgj = jnp.asarray(img, jnp.float32)
-    gy, gx = filters.gradients(imgj if imgj.ndim == 2 else imgj.mean(-1))
-    mag = np.asarray(jnp.sqrt(gy * gy + gx * gx))
+    if edge_map is not None:
+        mag = np.asarray(edge_map, np.float32)
+    else:
+        gy, gx = filters.gradients(imgj if imgj.ndim == 2 else imgj.mean(-1))
+        mag = np.asarray(jnp.sqrt(gy * gy + gx * gx))
     H, W = mag.shape
     ii = np.zeros((H + 1, W + 1))
     ii[1:, 1:] = mag.cumsum(0).cumsum(1)

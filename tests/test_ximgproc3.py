@@ -199,3 +199,56 @@ class TestFindEllipses:
         assert abs(best[0] - cx) < 3 and abs(best[1] - cy) < 3
         assert abs(max(best[2], best[3]) - a) < 4
         assert abs(min(best[2], best[3]) - b) < 4
+
+
+class TestEdgeForest:
+    """Learned structured edge detector trained in-repo
+    (structured_edge_detection.cpp:359-366 role)."""
+
+    def test_learned_beats_gradient_on_texture(self):
+        import jax.numpy as jnp
+        from opencv_contrib_tpu.ximgproc import edge_forest as ef
+        from opencv_contrib_tpu.ximgproc.edges import structured_edges_lite
+
+        params = ef.train(n_images=30, steps=300)
+        rng = np.random.default_rng(99)
+
+        def f1(pred, gt, thr):
+            p = np.asarray(pred) > thr
+            gtd = gt.copy()
+            for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                gtd |= np.roll(gt, (dy, dx), (0, 1))
+            tp = (p & gtd).sum()
+            fp = (p & ~gtd).sum()
+            pd = p.copy()
+            for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                pd |= np.roll(p, (dy, dx), (0, 1))
+            fn = (gt & ~pd).sum()
+            prec = tp / max(tp + fp, 1)
+            rec = (gt.sum() - fn) / max(gt.sum(), 1)
+            return 2 * prec * rec / max(prec + rec, 1e-9)
+
+        sf, sl = [], []
+        for _ in range(6):
+            im, gt = ef._synthetic_scene(rng)
+            imj = jnp.asarray(im)
+            pf = ef.edges_nms(ef.structured_edges(imj, params), imj)
+            pl = structured_edges_lite(imj)
+            sf.append(max(f1(pf, gt, t) for t in (0.2, 0.3, 0.5, 0.7)))
+            sl.append(max(f1(pl, gt, t) for t in (0.05, 0.1, 0.2, 0.3, 0.5)))
+        assert np.mean(sf) > 0.72, f"learned F1 {np.mean(sf):.3f}"
+        # the learned detector must beat the gradient stand-in on
+        # texture-bearing scenes (the structured forest's value add)
+        assert np.mean(sf) > np.mean(sl), (np.mean(sf), np.mean(sl))
+
+    def test_edge_boxes_accepts_learned_map(self):
+        import jax.numpy as jnp
+        from opencv_contrib_tpu.ximgproc import edge_forest as ef
+        from opencv_contrib_tpu.ximgproc.segmentation import edge_boxes
+
+        rng = np.random.default_rng(1)
+        im, _ = ef._synthetic_scene(rng)
+        emap = np.abs(np.gradient(im)[0])  # any HxW map works as input
+        boxes = [(10, 10, 50, 50), (2, 2, 8, 8)]
+        s = edge_boxes(im, boxes, edge_map=emap)
+        assert len(s) == 2
