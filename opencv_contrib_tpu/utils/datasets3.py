@@ -1,0 +1,201 @@
+"""More dataset reader families (datasets module breadth, round 4).
+
+Parity targets (reference datasets/src/*.cpp):
+- or_pascal.cpp      -> load_or_pascal (VOC XML object annotations)
+- tr_icdar.cpp       -> load_tr_icdar (8-coord word ground truth files)
+- or_mnist.cpp       -> load_or_mnist (idx-ubyte images + labels)
+- track_vot.cpp      -> load_track_vot (list.txt + per-sequence
+                        groundtruth.txt polygon/rect rows)
+- fr_lfw.cpp         -> load_fr_lfw_pairs (pairs.txt match/mismatch folds)
+
+Each loader returns plain numpy/python structures (images load lazily via
+utils.io.imread where applicable) — the Dataset::load contract
+(datasets/include/opencv2/datasets/dataset.hpp) without the class
+scaffolding.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import NamedTuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# OR_pascal (or_pascal.cpp: VOC XML annotation parsing)
+
+class PascalObject(NamedTuple):
+    name: str
+    xmin: int
+    ymin: int
+    xmax: int
+    ymax: int
+    difficult: bool
+    truncated: bool
+    occluded: bool
+
+
+class PascalSample(NamedTuple):
+    filename: str
+    width: int
+    height: int
+    objects: list
+
+
+def load_or_pascal(ann_dir: str):
+    """Parse every VOC XML annotation in a directory
+    (or_pascal.cpp parseAnnotation)."""
+    import xml.etree.ElementTree as ET
+
+    out = []
+    for fn in sorted(os.listdir(ann_dir)):
+        if not fn.endswith(".xml"):
+            continue
+        root = ET.parse(os.path.join(ann_dir, fn)).getroot()
+        size = root.find("size")
+        objs = []
+        for o in root.findall("object"):
+            bb = o.find("bndbox")
+            objs.append(PascalObject(
+                name=o.findtext("name", ""),
+                xmin=int(float(bb.findtext("xmin"))),
+                ymin=int(float(bb.findtext("ymin"))),
+                xmax=int(float(bb.findtext("xmax"))),
+                ymax=int(float(bb.findtext("ymax"))),
+                difficult=o.findtext("difficult", "0").strip() == "1",
+                truncated=o.findtext("truncated", "0").strip() == "1",
+                occluded=o.findtext("occluded", "0").strip() == "1",
+            ))
+        out.append(PascalSample(
+            filename=root.findtext("filename", fn[:-4]),
+            width=int(size.findtext("width")) if size is not None else 0,
+            height=int(size.findtext("height")) if size is not None else 0,
+            objects=objs,
+        ))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TR_icdar (tr_icdar.cpp: gt_*.txt with 8 corner coords + word)
+
+class IcdarWord(NamedTuple):
+    x: int
+    y: int
+    width: int
+    height: int
+    value: str
+
+
+def load_tr_icdar(gt_dir: str):
+    """Parse ICDAR ground-truth files: per image, rows of
+    'x1,y1,x2,y2,x3,y3,x4,y4,word' (tr_icdar.cpp:84-100 keeps the
+    axis-aligned box from corners 0 and 3)."""
+    out = {}
+    for fn in sorted(os.listdir(gt_dir)):
+        if not fn.endswith(".txt"):
+            continue
+        words = []
+        with open(os.path.join(gt_dir, fn), encoding="utf-8-sig") as f:
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) < 9:
+                    continue
+                try:
+                    c = [int(float(p)) for p in parts[:8]]
+                except ValueError:
+                    continue
+                value = ",".join(parts[8:]).strip().strip('"')
+                words.append(IcdarWord(
+                    x=c[0], y=c[1], width=c[4] - c[0], height=c[7] - c[1],
+                    value=value))
+        out[fn] = words
+    return out
+
+
+# ---------------------------------------------------------------------------
+# OR_mnist (or_mnist.cpp: idx-ubyte binary images + labels)
+
+def load_or_mnist(images_path: str, labels_path: str):
+    """Read idx3-ubyte images + idx1-ubyte labels (or_mnist.cpp loadDataset).
+    Returns (images (N, H, W) uint8, labels (N,) uint8)."""
+    with open(images_path, "rb") as f:
+        magic, n, h, w = struct.unpack(">IIII", f.read(16))
+        assert magic == 0x00000803, "not an idx3-ubyte image file"
+        imgs = np.frombuffer(f.read(n * h * w), np.uint8).reshape(n, h, w)
+    with open(labels_path, "rb") as f:
+        magic, n2 = struct.unpack(">II", f.read(8))
+        assert magic == 0x00000801, "not an idx1-ubyte label file"
+        labels = np.frombuffer(f.read(n2), np.uint8)
+    assert n == n2
+    return imgs, labels
+
+
+# ---------------------------------------------------------------------------
+# TRACK_vot (track_vot.cpp: list.txt + per-seq groundtruth.txt)
+
+class VotSequence(NamedTuple):
+    name: str
+    frames: list  # image paths
+    gt: np.ndarray  # (T, 4) axis-aligned (x, y, w, h) from the polygons
+
+
+def load_track_vot(root: str):
+    """VOT layout: root/list.txt names sequences; each sequence dir has
+    groundtruth.txt (rows of 8 polygon coords or 4 rect coords) and
+    images (track_vot.cpp:122-160)."""
+    out = []
+    with open(os.path.join(root, "list.txt")) as f:
+        names = [ln.strip() for ln in f if ln.strip()]
+    for name in names:
+        d = os.path.join(root, name)
+        rows = []
+        with open(os.path.join(d, "groundtruth.txt")) as f:
+            for line in f:
+                vals = [float(v) for v in line.replace(";", ",").split(",") if v.strip()]
+                if len(vals) == 8:
+                    xs, ys = vals[0::2], vals[1::2]
+                    rows.append([min(xs), min(ys),
+                                 max(xs) - min(xs), max(ys) - min(ys)])
+                elif len(vals) == 4:
+                    rows.append(vals)
+        frames = sorted(
+            os.path.join(d, fn) for fn in os.listdir(d)
+            if fn.lower().endswith((".jpg", ".png")))
+        out.append(VotSequence(name=name, frames=frames,
+                               gt=np.asarray(rows, np.float32)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FR_lfw (fr_lfw.cpp: pairs.txt folds of match/mismatch pairs)
+
+class LfwPair(NamedTuple):
+    image1: str
+    image2: str
+    same: bool
+
+
+def load_fr_lfw_pairs(path: str):
+    """Parse pairs.txt (fr_lfw.cpp:106-148): header 'folds n', then per
+    fold n matched rows 'name i j' and n mismatched rows 'name1 i name2 j'.
+    Returns list of folds, each a list of LfwPair."""
+    def img(name, idx):
+        return f"{name}/{name}_{int(idx):04d}.jpg"
+
+    with open(path) as f:
+        header = f.readline().split()
+        n_folds, n_pairs = (int(header[0]), int(header[1])) if len(header) >= 2 \
+            else (1, int(header[0]))
+        folds = []
+        for _ in range(n_folds):
+            fold = []
+            for _ in range(n_pairs):
+                p = f.readline().split()
+                fold.append(LfwPair(img(p[0], p[1]), img(p[0], p[2]), True))
+            for _ in range(n_pairs):
+                p = f.readline().split()
+                fold.append(LfwPair(img(p[0], p[1]), img(p[2], p[3]), False))
+            folds.append(fold)
+    return folds
