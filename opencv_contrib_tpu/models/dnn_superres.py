@@ -208,3 +208,42 @@ class DnnSuperRes:
             jax.tree_util.tree_structure(self.params), new_leaves
         )
         return self
+
+
+def evaluate_psnr_ssim(model: "DnnSuperRes", hr_images) -> tuple[float, float]:
+    """PSNR/SSIM of model.upsample against ground-truth HR images whose LR
+    inputs are the reference benchmark's protocol (downsample by the model
+    scale). The accuracy side of the reference's speed/accuracy table
+    (dnn_superres/README.md:74-82)."""
+    from opencv_contrib_tpu.quality import psnr, ssim
+
+    ps, ss = [], []
+    for hr in hr_images:
+        hr = np.asarray(hr, np.float32)
+        s = model.scale
+        H = (hr.shape[0] // s) * s
+        W = (hr.shape[1] // s) * s
+        hr = hr[:H, :W]
+        lr = np.asarray(jax.image.resize(
+            jnp.asarray(hr), (H // s, W // s), "cubic"))
+        out = np.asarray(model.upsample(lr))
+        ps.append(float(psnr(out, hr)))
+        ss.append(float(ssim(out, hr)))
+    return float(np.mean(ps)), float(np.mean(ss))
+
+
+def evaluate_bicubic(hr_images, scale: int) -> tuple[float, float]:
+    """Bicubic baseline row of the same benchmark."""
+    from opencv_contrib_tpu.quality import psnr, ssim
+
+    ps, ss = [], []
+    for hr in hr_images:
+        hr = np.asarray(hr, np.float32)
+        H = (hr.shape[0] // scale) * scale
+        W = (hr.shape[1] // scale) * scale
+        hr = hr[:H, :W]
+        lr = jax.image.resize(jnp.asarray(hr), (H // scale, W // scale), "cubic")
+        out = np.asarray(DnnSuperRes.upsample_bicubic(lr, scale))
+        ps.append(float(psnr(out, hr)))
+        ss.append(float(ssim(out, hr)))
+    return float(np.mean(ps)), float(np.mean(ss))
