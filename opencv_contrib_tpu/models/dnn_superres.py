@@ -170,11 +170,16 @@ class DnnSuperRes:
         self._tx = optax.adam(lr)
         self._opt_state = self._tx.init(self.params)
 
+        add_base = self.algo != "lapsrn"  # must match upsample(): LapSRN
+        # carries its own pyramid base internally
+
         @jax.jit
         def step(params, opt_state, lr_batch, hr_batch):
             def loss_fn(p):
-                base = jax.image.resize(lr_batch, hr_batch.shape, "bilinear")
-                pred = self.net.apply(p, lr_batch) + base
+                pred = self.net.apply(p, lr_batch)
+                if add_base:
+                    pred = pred + jax.image.resize(lr_batch, hr_batch.shape,
+                                                   "bilinear")
                 return jnp.mean((pred - hr_batch) ** 2)
 
             loss, g = jax.value_and_grad(loss_fn)(params)
