@@ -93,3 +93,55 @@ class TestRetina:
         _, magno_moving = r.run(img2)
         m_moving = float(np.asarray(magno_moving).mean())
         assert m_moving > m_static * 2.0
+
+
+class TestSuperResAccuracy:
+    """Accuracy evaluation harness (the reference's PSNR/SSIM benchmark
+    column, dnn_superres/README.md:74-82): a trained model must beat the
+    bicubic baseline on held-out images."""
+
+    def test_fsrcnn_beats_bicubic_psnr(self, rng):
+        import jax
+        from opencv_contrib_tpu.models.dnn_superres import (
+            DnnSuperRes, evaluate_bicubic, evaluate_psnr_ssim)
+        from opencv_contrib_tpu.ximgproc.edge_forest import _synthetic_scene
+
+        train_hr = [np.clip(_synthetic_scene(rng, 96, 96)[0], 0, 1)
+                    for _ in range(48)]
+        test_hr = [np.clip(_synthetic_scene(np.random.default_rng(1234 + i),
+                                            96, 96)[0], 0, 1)
+                   for i in range(8)]
+        m = DnnSuperRes("fsrcnn", scale=2, seed=0)
+        m.init_training(lr=2e-3)
+        for _ in range(250):
+            idx = rng.choice(len(train_hr), 8, replace=False)
+            hr = np.stack([train_hr[i] for i in idx])[..., None]
+            lr_b = np.stack([np.asarray(jax.image.resize(
+                jnp.asarray(h[..., 0]), (48, 48), "cubic")) for h in hr])[..., None]
+            m.train_step(jnp.asarray(lr_b), jnp.asarray(hr))
+        p_model, s_model = evaluate_psnr_ssim(m, test_hr)
+        p_bic, s_bic = evaluate_bicubic(test_hr, 2)
+        assert p_model > p_bic + 0.5, (p_model, p_bic)
+        assert s_model > s_bic - 1e-3
+
+    def test_lapsrn_training_matches_inference(self, rng):
+        """Regression for the LapSRN base mismatch: a short training run
+        must IMPROVE (not destroy) PSNR vs the untrained net."""
+        import jax
+        from opencv_contrib_tpu.models.dnn_superres import (
+            DnnSuperRes, evaluate_psnr_ssim)
+        from opencv_contrib_tpu.ximgproc.edge_forest import _synthetic_scene
+
+        hr_imgs = [np.clip(_synthetic_scene(rng, 64, 64)[0], 0, 1)
+                   for _ in range(16)]
+        m = DnnSuperRes("lapsrn", scale=2, seed=0)
+        p0, _ = evaluate_psnr_ssim(m, hr_imgs[:4])
+        m.init_training(lr=1e-3)
+        for _ in range(120):
+            idx = rng.choice(len(hr_imgs), 8, replace=False)
+            hr = np.stack([hr_imgs[i] for i in idx])[..., None]
+            lr_b = np.stack([np.asarray(jax.image.resize(
+                jnp.asarray(h[..., 0]), (32, 32), "cubic")) for h in hr])[..., None]
+            m.train_step(jnp.asarray(lr_b), jnp.asarray(hr))
+        p1, _ = evaluate_psnr_ssim(m, hr_imgs[:4])
+        assert p1 > p0 + 1.0, (p0, p1)
