@@ -39,3 +39,41 @@ def bundle_adjust(problem: bundle.BAProblem, mesh: Mesh, **kwargs) -> bundle.BAR
     sharded = shard_problem(problem, mesh)
     with mesh:
         return bundle.bundle_adjust(sharded, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# sparse-observation layout (ba.sparse) over the mesh: the 5k-image-scale
+# path. The flat obs list is pure data parallelism — shard it over EVERY
+# mesh axis; camera/point blocks are replicated and the bucket reductions
+# become per-shard partials + psum under GSPMD.
+
+def shard_sparse_problem(problem, mesh: Mesh):
+    from opencv_contrib_tpu.ba import sparse
+
+    axes = tuple(mesh.axis_names)
+    obs_sh = NamedSharding(mesh, P(axes))
+    rep = NamedSharding(mesh, P())
+    return sparse.SparseBAProblem(
+        cameras=jax.device_put(problem.cameras, rep),
+        points=jax.device_put(problem.points, rep),
+        intr=jax.device_put(problem.intr, rep),
+        obs_cam=jax.device_put(problem.obs_cam, obs_sh),
+        obs_pt=jax.device_put(problem.obs_pt, obs_sh),
+        obs_uv=jax.device_put(problem.obs_uv,
+                              NamedSharding(mesh, P(None, axes))),
+        obs_ok=jax.device_put(problem.obs_ok, obs_sh),
+    )
+
+
+def bundle_adjust_sparse(problem, mesh: Mesh, buckets=None, **kwargs):
+    """Sharded sparse-observation BA (ba.sparse.bundle_adjust_sparse
+    contract). Buckets are built host-side once per sparsity pattern."""
+    from opencv_contrib_tpu.ba import sparse
+
+    if buckets is None:
+        buckets = sparse.build_buckets(
+            problem.obs_cam, problem.obs_pt, problem.obs_ok,
+            problem.cameras.shape[0], problem.points.shape[0])
+    sharded = shard_sparse_problem(problem, mesh)
+    with mesh:
+        return sparse.bundle_adjust_sparse(sharded, buckets=buckets, **kwargs)
