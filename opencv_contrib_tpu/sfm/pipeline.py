@@ -96,20 +96,33 @@ def gric_scores(x1: np.ndarray, x2: np.ndarray, img_shape=(480, 640)) -> tuple[f
     return gric(eH, 2.0, 8), gric(eF, 3.0, 7)
 
 
-def select_init_pair(tracks: TracksTensor, min_common: int = 16) -> tuple[int, int]:
+def select_init_pair(tracks: TracksTensor, min_common: int = 16,
+                     max_candidates: int = 16) -> tuple[int, int]:
     """Best two-frame init pair: enough common tracks and GRIC(F) << GRIC(H)
-    (selectTwoKeyframesBasedOnGRICAndVariance, libmv_capi.h:127)."""
+    (selectTwoKeyframesBasedOnGRICAndVariance, libmv_capi.h:127).
+
+    The O(V^2) candidate enumeration is ONE boolean matmul (common-track
+    counts); host-side GRIC runs only on the top-`max_candidates` pairs,
+    so 100+-view track files don't trigger a V^2 device-call loop."""
     V = tracks.n_views
-    best, best_score = (0, 1), -np.inf
-    for i in range(V):
-        for j in range(i + 1, V):
-            common = tracks.common_tracks(i, j)
-            if len(common) < min_common:
-                continue
-            gH, gF = gric_scores(tracks.obs[i, common], tracks.obs[j, common])
-            score = (gH - gF) / max(len(common), 1) + 0.01 * len(common)
-            if score > best_score:
-                best_score, best = score, (i, j)
+    m = tracks.mask.astype(np.float32)
+    counts = m @ m.T  # (V, V) common-track counts
+    iu = np.triu_indices(V, k=1)
+    cand = np.stack([iu[0], iu[1], counts[iu]], axis=1)
+    cand = cand[cand[:, 2] >= min_common]
+    if len(cand) == 0:
+        return (0, min(1, V - 1))
+    # prefer well-separated, well-connected pairs: order by count, keep
+    # the top candidates for the (device-bound) GRIC evaluation
+    cand = cand[np.argsort(-cand[:, 2])][:max_candidates]
+    best, best_score = (int(cand[0, 0]), int(cand[0, 1])), -np.inf
+    for i, j, n in cand:
+        i, j = int(i), int(j)
+        common = tracks.common_tracks(i, j)
+        gH, gF = gric_scores(tracks.obs[i, common], tracks.obs[j, common])
+        score = (gH - gF) / max(len(common), 1) + 0.01 * len(common)
+        if score > best_score:
+            best_score, best = score, (i, j)
     return best
 
 

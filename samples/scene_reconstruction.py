@@ -38,13 +38,25 @@ def reconstruct_from_images(image_paths, intr, max_keypoints=512):
         descs.append(d)
         valids.append(k.valid)
 
-    matches = []
+    # match schedule: all pairs for small sets, BoW top-k pruning beyond
+    # (sfm/pairing.py — the reference brute-forces all pairs,
+    # nRobustViewMatching.cc:154, which is O(N^2) and infeasible at the
+    # 5k-image BASELINE config)
     n = len(imgs)
-    for i in range(n):
-        for j in range(i + 1, n):
-            m = match.ratio_test_match(descs[i], descs[j], valids[i], valids[j], ratio=0.8)
-            sel = np.asarray(m.valid)
-            matches.append((i, j, np.asarray(m.query_idx)[sel], np.asarray(m.train_idx)[sel]))
+    if n <= 12:
+        pair_list = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    else:
+        from opencv_contrib_tpu.sfm import pairing
+        pair_list = pairing.select_pairs(
+            np.stack([np.asarray(d) for d in descs]),
+            np.stack([np.asarray(v) for v in valids]), k=8)
+        print(f"BoW pruning: {len(pair_list)} pairs of {n*(n-1)//2}")
+
+    matches = []
+    for i, j in pair_list:
+        m = match.ratio_test_match(descs[i], descs[j], valids[i], valids[j], ratio=0.8)
+        sel = np.asarray(m.valid)
+        matches.append((i, j, np.asarray(m.query_idx)[sel], np.asarray(m.train_idx)[sel]))
 
     kxy = [np.stack([np.asarray(k.x), np.asarray(k.y)], axis=1) for k in kps]
     t = trx.build_tracks(n, kxy, matches, min_length=2)
