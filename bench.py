@@ -25,7 +25,7 @@ enable_compile_cache()
 _PROFILE_DIR = os.environ.get("BENCH_PROFILE")
 
 
-def _bench(f, q, t, n=100, repeats=2):
+def _bench(f, q, t, n=100, repeats=4):
     """lax.scan-chained timing: n serialized calls with a tiny non-zero
     feedback (so XLA can't collapse the chain), one compiled body, and a
     host transfer to force completion. n is large enough that the remote

@@ -189,3 +189,40 @@ class TestSubmapShard:
         err0 = np.mean([np.linalg.norm(T0[s] - T_true[s]) for s in range(1, S)])
         err1 = np.mean([np.linalg.norm(out[s] - T_true[s]) for s in range(1, S)])
         assert err1 < 0.3 * err0, (err0, err1)
+
+
+class TestStagePipeline:
+    """Pipeline parallelism over the mesh (SURVEY P9 PP-analog): stages
+    owned by devices, items handed off via ppermute."""
+
+    def test_matches_sequential_composition(self):
+        import jax
+        from jax.sharding import Mesh
+        from opencv_contrib_tpu.parallel import stage_pipeline
+
+        devs = np.array(jax.devices()[:4])
+        mesh = Mesh(devs, ("pp",))
+
+        k = jnp.ones((3, 3)) / 9.0
+
+        def blur(x):
+            return jax.scipy.signal.convolve2d(x, k, mode="same")
+
+        def grad(x):
+            gy = jnp.diff(x, axis=0, append=x[-1:])
+            gx = jnp.diff(x, axis=1, append=x[:, -1:])
+            return jnp.sqrt(gy * gy + gx * gx)
+
+        def norm(x):
+            return (x - x.mean()) / (x.std() + 1e-6)
+
+        def soft(x):
+            return jax.nn.sigmoid(4.0 * x)
+
+        stages = [blur, grad, norm, soft]
+        rng = np.random.default_rng(0)
+        items = jnp.asarray(rng.normal(size=(6, 32, 32)).astype(np.float32))
+        out = stage_pipeline.pipeline_map(stages, items, mesh)
+        ref = jnp.stack([soft(norm(grad(blur(items[i])))) for i in range(6)])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
