@@ -275,14 +275,15 @@ def integrate_sparse(
     sel_ok = jnp.take(score, sel) > -jnp.inf
 
     # --- gather selected block voxels WITHOUT re-blocking the volume ---
-    # A blocked 6D transpose copies the whole volume twice per array
-    # (~14 ms at 256^3 — it dominated the first cut of this function).
-    # Instead view the volume as (X*Y, Z): each block touches bs^2 rows,
-    # gathered directly (row gathers are the cheap gather shape on TPU);
-    # its bs z-columns are cut out with a per-block one-hot matmul, and the
-    # update goes back as a scatter-ADD of deltas (adds commute, so blocks
-    # sharing (x, y) rows — same bx/by, different bz — cannot clobber each
-    # other the way a row .set() would).
+    # View the volume as (X*Y*Z/RW, RW) with RW = 128: rows are exactly
+    # one physical f32 tile wide, so gathers/scatters move ZERO padding
+    # (a (M, bs=8) slab view pads 16x; the full (X*Y, Z) z-row view moves
+    # Z/bs = 64x the bytes — both measured slower). Each block's bs-long
+    # z-slab lives inside ONE 128-wide row (bs divides 128 and z-starts
+    # are bs-aligned); the slab is cut out / placed back with an in-row
+    # iota mask, and updates are scatter-ADDs of deltas (adds commute, so
+    # blocks sharing rows cannot clobber each other the way .set() would).
+    RW = 128 if Z % 128 == 0 else Z  # small volumes: one row per z-line
     sbx = sel // (By * Bz)
     sby = (sel // Bz) % By
     sbz = sel % Bz
@@ -291,21 +292,23 @@ def integrate_sparse(
     ly = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1).reshape(-1)
     gxr = sbx[:, None] * bs + lx[None, :]  # (K, r2) voxel x
     gyr = sby[:, None] * bs + ly[None, :]  # (K, r2) voxel y
-    ridx = (gxr * Y + gyr).reshape(-1)  # (K*r2,) rows into the (X*Y, Z) view
+    z0 = sbz * bs  # (K,) block z start
+    zrow = z0 // RW  # which 128-row along z
+    zoff = z0 % RW  # slab offset inside the row
+    n_zrows = max(Z // RW, 1)
+    ridx = ((gxr * Y + gyr) * n_zrows + zrow[:, None]).reshape(-1)  # (K*r2,)
 
-    t2d = vol.tsdf.reshape(X * Y, Z)
-    w2d = vol.weight.reshape(X * Y, Z)
-    rows_t = t2d[ridx].reshape(K, r2, Z)
-    rows_w = w2d[ridx].reshape(K, r2, Z)
-
-    zi = jax.lax.broadcasted_iota(jnp.int32, (K, Z), 1)
-    j0 = (sbz * bs)[:, None]
-    ohz = ((zi >= j0) & (zi < j0 + bs)).astype(jnp.float32)  # (K, Z)
-    ohzj = (zi[:, :, None] == (j0[..., None] + jnp.arange(bs))).astype(
-        jnp.float32)  # (K, Z, bs)
-    t_rows = jnp.einsum("krz,kzj->krj", rows_t, ohzj,
+    t4 = vol.tsdf.reshape(-1, RW)
+    w4 = vol.weight.reshape(-1, RW)
+    rows_t = t4[ridx].reshape(K, r2, RW)
+    rows_w = w4[ridx].reshape(K, r2, RW)
+    # cut the bs-wide slab: one-hot selection matmul over the 128 lanes
+    rl = jax.lax.broadcasted_iota(jnp.int32, (K, RW, bs), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (K, RW, bs), 2)
+    selz = (rl == zoff[:, None, None] + jj).astype(jnp.float32)  # (K, RW, bs)
+    t_rows = jnp.einsum("krw,kwj->krj", rows_t, selz,
                         precision=jax.lax.Precision.HIGHEST).reshape(K, -1)
-    w_rows = jnp.einsum("krz,kzj->krj", rows_w, ohzj,
+    w_rows = jnp.einsum("krw,kwj->krj", rows_w, selz,
                         precision=jax.lax.Precision.HIGHEST).reshape(K, -1)
 
     # --- voxel coords of selected blocks (r-major, z-minor: (K, r2*bs)) ---
@@ -349,16 +352,18 @@ def integrate_sparse(
         (t_rows * w_rows + tsdf_new * w_add) / jnp.maximum(w_rows + w_add, 1.0),
         t_rows)
 
-    # --- scatter back as z-expanded deltas (adds commute across blocks) ---
+    # --- scatter back as 128-wide-row deltas (adds commute across blocks;
+    # the slab expands into the row through the same one-hot mask, zeros
+    # elsewhere) ---
     dt = jnp.where(sel_ok[:, None], fused - t_rows, 0.0).reshape(K, r2, bs)
     dw = jnp.where(sel_ok[:, None], w_new - w_rows, 0.0).reshape(K, r2, bs)
-    dt_full = jnp.einsum("krj,kzj->krz", dt, ohzj,
-                         precision=jax.lax.Precision.HIGHEST)
-    dw_full = jnp.einsum("krj,kzj->krz", dw, ohzj,
-                         precision=jax.lax.Precision.HIGHEST)
-    t2d = t2d.at[ridx].add(dt_full.reshape(K * r2, Z))
-    w2d = w2d.at[ridx].add(dw_full.reshape(K * r2, Z))
-    return vol._replace(tsdf=t2d.reshape(X, Y, Z), weight=w2d.reshape(X, Y, Z))
+    dt_row = jnp.einsum("krj,kwj->krw", dt, selz,
+                        precision=jax.lax.Precision.HIGHEST).reshape(K * r2, RW)
+    dw_row = jnp.einsum("krj,kwj->krw", dw, selz,
+                        precision=jax.lax.Precision.HIGHEST).reshape(K * r2, RW)
+    t4 = t4.at[ridx].add(dt_row)
+    w4 = w4.at[ridx].add(dw_row)
+    return vol._replace(tsdf=t4.reshape(X, Y, Z), weight=w4.reshape(X, Y, Z))
 
 
 def _corner_stack(vol: TSDFVolume) -> jnp.ndarray:
