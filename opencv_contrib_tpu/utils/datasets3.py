@@ -7,6 +7,10 @@ Parity targets (reference datasets/src/*.cpp):
 - track_vot.cpp      -> load_track_vot (list.txt + per-sequence
                         groundtruth.txt polygon/rect rows)
 - fr_lfw.cpp         -> load_fr_lfw_pairs (pairs.txt match/mismatch folds)
+- ir_affine.cpp      -> load_ir_affine (Oxford img1..6 + H1to{n}p)
+- sr_div2k/general100/bsds.cpp -> load_sr_dataset (split image lists)
+- pd_inria.cpp       -> load_pd_inria (pos/neg lists + bounding boxes)
+- ar_hmdb.cpp        -> load_ar_hmdb_splits (action 7030 split files)
 
 Each loader returns plain numpy/python structures (images load lazily via
 utils.io.imread where applicable) — the Dataset::load contract
@@ -199,3 +203,113 @@ def load_fr_lfw_pairs(path: str):
                 fold.append(LfwPair(img(p[0], p[1]), img(p[2], p[3]), False))
             folds.append(fold)
     return folds
+
+
+# ---------------------------------------------------------------------------
+# IR_affine (ir_affine.cpp: Oxford affine-covariant benchmark — img1..6 +
+# H1to{n}p 3x3 homographies)
+
+class AffineSequence(NamedTuple):
+    images: list  # 6 image paths (img1 = reference)
+    H: np.ndarray  # (6, 3, 3); H[0] = identity, H[i] maps img1 -> img{i+1}
+
+
+def load_ir_affine(seq_dir: str, ext: str | None = None):
+    """Load one Oxford affine sequence directory (graf/wall/boat/...)."""
+    exts = [ext] if ext else [".ppm", ".pgm", ".png", ".jpg"]
+    imgs = []
+    for i in range(1, 7):
+        for e in exts:
+            p = os.path.join(seq_dir, f"img{i}{e}")
+            if os.path.exists(p):
+                imgs.append(p)
+                break
+    Hs = [np.eye(3, dtype=np.float64)]
+    for i in range(2, 7):
+        p = os.path.join(seq_dir, f"H1to{i}p")
+        Hs.append(np.loadtxt(p).reshape(3, 3) if os.path.exists(p)
+                  else np.full((3, 3), np.nan))
+    return AffineSequence(images=imgs, H=np.stack(Hs))
+
+
+# ---------------------------------------------------------------------------
+# SR_* (sr_div2k.cpp / sr_general100.cpp / sr_bsds.cpp: image-name lists)
+
+def load_sr_dataset(root: str, train_dir: str = "DIV2K_train_HR",
+                    valid_dir: str = "DIV2K_valid_HR"):
+    """Super-resolution dataset splits as sorted image-path lists
+    (sr_div2k.cpp loadDatasetPart semantics — the datasets are just image
+    directories)."""
+    def scan(d):
+        full = os.path.join(root, d)
+        if not os.path.isdir(full):
+            return []
+        return sorted(os.path.join(full, f) for f in os.listdir(full)
+                      if f.lower().endswith((".png", ".jpg", ".bmp")))
+
+    return {"train": scan(train_dir), "valid": scan(valid_dir)}
+
+
+# ---------------------------------------------------------------------------
+# PD_inria (pd_inria.cpp: pos.lst / neg.lst image lists + annotations)
+
+class InriaSample(NamedTuple):
+    filename: str
+    bndboxes: np.ndarray  # (M, 4) (xmin, ymin, xmax, ymax); empty for neg
+
+
+def load_pd_inria(root: str, image_set: str = "Train"):
+    """INRIA person layout: <set>/pos.lst, <set>/neg.lst, annotations/*.txt
+    with 'Bounding box ... (xmin, ymin) - (xmax, ymax)' rows
+    (pd_inria.cpp:94-170)."""
+    import re
+
+    out = []
+    pos = os.path.join(root, image_set, "pos.lst")
+    neg = os.path.join(root, image_set, "neg.lst")
+    if os.path.exists(pos):
+        for line in open(pos):
+            rel = line.strip()
+            if not rel:
+                continue
+            ann = os.path.join(root, image_set, "annotations",
+                               os.path.splitext(os.path.basename(rel))[0] + ".txt")
+            boxes = []
+            if os.path.exists(ann):
+                for al in open(ann, errors="ignore"):
+                    m = re.search(r"\((\d+),\s*(\d+)\)\s*-\s*\((\d+),\s*(\d+)\)", al)
+                    if m and "Bounding box" in al:
+                        boxes.append([int(m.group(i)) for i in (1, 2, 3, 4)])
+            out.append(InriaSample(rel, np.asarray(boxes, np.int32).reshape(-1, 4)))
+    if os.path.exists(neg):
+        for line in open(neg):
+            rel = line.strip()
+            if rel:
+                out.append(InriaSample(rel, np.zeros((0, 4), np.int32)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AR_hmdb (ar_hmdb.cpp: testTrainMulti_7030_splits action split files)
+
+def load_ar_hmdb_splits(split_dir: str, split_id: int = 1):
+    """HMDB action splits: per action a '<action>_test_split<k>.txt' with
+    'video.avi <tag>' rows; tag 1 = train, 2 = test (ar_hmdb.cpp:122-141).
+    Returns {action: {"train": [...], "test": [...]}}."""
+    out = {}
+    suffix = f"_test_split{split_id}.txt"
+    for fn in sorted(os.listdir(split_dir)):
+        if not fn.endswith(suffix):
+            continue
+        action = fn[: -len(suffix)]
+        tr, te = [], []
+        for line in open(os.path.join(split_dir, fn)):
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            if parts[1] == "1":
+                tr.append(parts[0])
+            elif parts[1] == "2":
+                te.append(parts[0])
+        out[action] = {"train": tr, "test": te}
+    return out

@@ -85,3 +85,49 @@ def test_fr_lfw_pairs(tmp_path):
     assert folds[0][0].same and folds[0][0].image1 == "Alice/Alice_0001.jpg"
     assert not folds[0][2].same
     assert folds[1][3].image2 == "Dave/Dave_0001.jpg"
+
+
+def test_ir_affine(tmp_path):
+    for i in range(1, 7):
+        (tmp_path / f"img{i}.ppm").write_bytes(b"P6 1 1 255 abc")
+    H = np.array([[1.1, 0.0, 2.0], [0.0, 0.9, -3.0], [1e-4, 0, 1]])
+    for i in range(2, 7):
+        np.savetxt(tmp_path / f"H1to{i}p", H * i)
+    seq = ds.load_ir_affine(str(tmp_path))
+    assert len(seq.images) == 6
+    np.testing.assert_allclose(seq.H[0], np.eye(3))
+    np.testing.assert_allclose(seq.H[1], H * 2)
+    np.testing.assert_allclose(seq.H[5], H * 6)
+
+
+def test_sr_dataset(tmp_path):
+    d = tmp_path / "DIV2K_train_HR"
+    d.mkdir()
+    for n in ("0002.png", "0001.png"):
+        (d / n).write_bytes(b"")
+    splits = ds.load_sr_dataset(str(tmp_path))
+    assert [os.path.basename(p) for p in splits["train"]] == ["0001.png", "0002.png"]
+    assert splits["valid"] == []
+
+
+def test_pd_inria(tmp_path):
+    t = tmp_path / "Train"
+    (t / "annotations").mkdir(parents=True)
+    (t / "pos.lst").write_text("Train/pos/crop001001.png\n")
+    (t / "neg.lst").write_text("Train/neg/empty.png\n")
+    (t / "annotations" / "crop001001.txt").write_text(
+        'Bounding box for object 1 "PASperson" (Xmin, Ymin) - (Xmax, Ymax) : (10, 20) - (110, 220)\n')
+    out = ds.load_pd_inria(str(tmp_path), "Train")
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0].bndboxes, [[10, 20, 110, 220]])
+    assert out[1].bndboxes.shape == (0, 4)
+
+
+def test_ar_hmdb_splits(tmp_path):
+    (tmp_path / "brush_hair_test_split1.txt").write_text(
+        "a.avi 1\nb.avi 2\nc.avi 0\n")
+    (tmp_path / "wave_test_split1.txt").write_text("d.avi 1\n")
+    out = ds.load_ar_hmdb_splits(str(tmp_path), 1)
+    assert out["brush_hair"]["train"] == ["a.avi"]
+    assert out["brush_hair"]["test"] == ["b.avi"]
+    assert out["wave"]["train"] == ["d.avi"]
