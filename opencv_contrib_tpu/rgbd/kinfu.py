@@ -192,3 +192,98 @@ class KinFu:
             shape=self.p.frame_shape, depth_max=self.p.depth_max,
         )
         return pts[..., 2] * valid
+
+
+class HashKinFu:
+    """KinFu backed by the hashed-block TSDF volume — the reference's
+    hashTSDFParams preset (kinfu.hpp:19 Params::hashTSDFParams,
+    hash_tsdf.cpp:81-91): unbounded scenes, blocks lazily allocated along
+    the truncation band each frame.
+
+    Same tick contract as KinFu (update() -> bool, reset, pose); the tick
+    is two dispatches (allocate changes the pool ordering, then the fused
+    track+integrate+raycast step runs on it)."""
+
+    def __init__(self, params: KinFuParams, capacity: int = 16384):
+        from opencv_contrib_tpu.rgbd import hash_tsdf as ht
+
+        self.p = params
+        self.capacity = capacity
+        self._ht = ht
+        p = params
+
+        @jax.jit
+        def _first(vol, T_cw, depth):
+            intr = jnp.asarray(p.intr)
+            vol = ht.allocate(vol, depth, intr, T_cw, depth_max=p.depth_max)
+            vol = ht.integrate(vol, depth, intr, T_cw,
+                               max_weight=p.tsdf_max_weight,
+                               depth_max=p.depth_max)
+            pts, nrm, valid = ht.raycast(vol, intr, T_cw, shape=p.frame_shape,
+                                         depth_max=p.depth_max)
+            model = _pyr_from(pts, nrm, valid, p.pyramid_levels)
+            return vol, model
+
+        @jax.jit
+        def _tick(vol, T_cw, model_pyr, depth):
+            intr = jnp.asarray(p.intr)
+            pyr = frame_mod.make_frame(depth, intr, levels=p.pyramid_levels)
+            T_rel, ok, err = icp_mod.estimate_transform(
+                pyr, model_pyr, intr,
+                iterations=p.icp_iterations, dist_thresh=p.icp_dist_thresh)
+            T_cw_new = jnp.where(ok, se3.inverse(T_rel) @ T_cw, T_cw)
+            vol = ht.allocate(vol, depth, intr, T_cw_new,
+                              depth_max=p.depth_max)
+            vol2 = ht.integrate(vol, depth, intr, T_cw_new,
+                                max_weight=p.tsdf_max_weight,
+                                depth_max=p.depth_max)
+            vol = vol._replace(
+                tsdf=jnp.where(ok, vol2.tsdf, vol.tsdf),
+                weight=jnp.where(ok, vol2.weight, vol.weight))
+            pts, nrm, valid = ht.raycast(vol, intr, T_cw_new,
+                                         shape=p.frame_shape,
+                                         depth_max=p.depth_max)
+            model_new = _pyr_from(pts, nrm, valid, p.pyramid_levels)
+            model = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), model_new, model_pyr)
+            return vol, T_cw_new, model, ok, err
+
+        def _pyr_from(pts, nrm, valid, levels):
+            frames = []
+            p_l, n_l, v_l = pts, nrm, valid
+            for _ in range(levels):
+                frames.append(DepthFrame(depth=p_l[..., 2], points=p_l,
+                                         normals=n_l, valid=v_l))
+                p_l, n_l, v_l = p_l[::2, ::2], n_l[::2, ::2], v_l[::2, ::2]
+            return tuple(frames)
+
+        self._first_fn = _first
+        self._tick_fn = _tick
+        self.reset()
+
+    def reset(self):
+        vs = self.p.volume_size / self.p.volume_resolution[0]
+        self.volume = self._ht.create(self.capacity, voxel_size=float(vs))
+        self.T_cw = jnp.eye(4)
+        self.frame_count = 0
+        self.model_pyr = None
+
+    @property
+    def pose(self) -> np.ndarray:
+        return np.asarray(se3.inverse(self.T_cw))
+
+    def update(self, depth, sync: bool = True):
+        depth = jnp.asarray(depth, jnp.float32)
+        if self.frame_count == 0:
+            self.volume, self.model_pyr = self._first_fn(self.volume, self.T_cw, depth)
+            self.frame_count = 1
+            self.last_ok = jnp.asarray(True)
+            return True
+        self.volume, self.T_cw, self.model_pyr, ok, err = self._tick_fn(
+            self.volume, self.T_cw, self.model_pyr, depth)
+        self.frame_count += 1
+        self.last_ok = ok
+        return bool(ok) if sync else True
+
+    def n_active_blocks(self) -> int:
+        return self._ht.n_active(self.volume)

@@ -100,3 +100,35 @@ class TestLargeKinFu:
         lk.add_loop_constraint(i, j, T_rel, weight=2.0)
         c0, c1 = lk.optimize_pose_graph(n_iters=15)
         assert c1 <= c0 + 1e-6
+
+
+class TestHashKinFu:
+    """KinFu on the hashed-block volume — Params::hashTSDFParams role
+    (kinfu.hpp:19, hash_tsdf.cpp:81-91): unbounded scenes, blocks
+    allocated along the band per frame; same drift gates as dense KinFu
+    (test_kinfu.cpp:326-330)."""
+
+    def test_orbit_tracking(self):
+        from opencv_contrib_tpu.rgbd import kinfu
+        from opencv_contrib_tpu.utils import sdf_scene
+        from opencv_contrib_tpu.core import camera as cam, se3
+
+        poses = sdf_scene.orbit_poses(8, sweep=0.5)
+        intr = np.asarray(cam.make_intrinsics(100.0, 100.0, 80.0, 60.0))
+        depths = [np.asarray(sdf_scene.render_depth(
+            jnp.asarray(T), jnp.asarray(intr), shape=(120, 160)))
+            for T in poses]
+        p = kinfu.KinFuParams.default(intr, (120, 160))
+        p.volume_resolution = (96, 96, 96)
+        p.volume_size = 3.2
+        k = kinfu.HashKinFu(p, capacity=4096)
+        for d in depths:
+            assert k.update(d), f"tracking lost at frame {k.frame_count}"
+        T_est = jnp.asarray(k.pose)
+        T_gt = se3.inverse(jnp.asarray(poses[0])) @ jnp.asarray(poses[-1])
+        d = np.asarray(se3.log_se3(se3.inverse(T_gt) @ T_est))
+        assert np.linalg.norm(d[:3]) < 0.02, d
+        assert np.linalg.norm(d[3:]) < 0.1, d
+        # the pool only holds band blocks, far below a dense 96^3 grid
+        n = k.n_active_blocks()
+        assert 0 < n < 4096, n
