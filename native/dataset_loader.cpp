@@ -10,6 +10,8 @@
 // Build: make -C native (produces libocvtpu_io.so).
 
 #include <png.h>
+#include <cstdio>
+#include <jpeglib.h>
 
 #include <atomic>
 #include <condition_variable>
@@ -89,6 +91,50 @@ bool decode_png(const std::string& path, Image* out, float depth_scale) {
     for (size_t i = 0; i < n; ++i) out->data[i] = src[i] * (1.0f / 255.0f);
   }
   return true;
+}
+
+bool decode_jpeg(const std::string& path, Image* out) {
+  FILE* fp = std::fopen(path.c_str(), "rb");
+  if (!fp) return false;
+  jpeg_decompress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return false;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int width = cinfo.output_width;
+  const int height = cinfo.output_height;
+  const int channels = cinfo.output_components;
+  out->width = width;
+  out->height = height;
+  out->channels = channels;
+  out->bit_depth = 8;
+  out->data.resize(static_cast<size_t>(width) * height * channels);
+  std::vector<uint8_t> row(static_cast<size_t>(width) * channels);
+  uint8_t* rowp = row.data();
+  size_t off = 0;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    for (size_t i = 0; i < row.size(); ++i) out->data[off + i] = row[i] * (1.0f / 255.0f);
+    off += row.size();
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(fp);
+  return true;
+}
+
+bool decode_image(const std::string& path, Image* out, float depth_scale) {
+  auto dot = path.rfind('.');
+  std::string ext = dot == std::string::npos ? "" : path.substr(dot);
+  for (auto& ch : ext) ch = static_cast<char>(std::tolower(ch));
+  if (ext == ".jpg" || ext == ".jpeg") return decode_jpeg(path, out);
+  return decode_png(path, out, depth_scale);
 }
 
 struct Pair {
@@ -218,9 +264,12 @@ struct DecodedHandle {
   Image img;
 };
 
+// Decodes PNG (8/16-bit, depth_scale applies to 16-bit) or JPEG by
+// extension — the native image-feed entry point for both the TUM depth
+// stream and SfM photo sets (Sceaux-class .jpg inputs).
 void* ocvtpu_decode_png(const char* path, float depth_scale, int* w, int* h, int* c, int* bits) {
   auto* handle = new DecodedHandle();
-  if (!decode_png(path, &handle->img, depth_scale)) {
+  if (!decode_image(path, &handle->img, depth_scale)) {
     delete handle;
     return nullptr;
   }

@@ -64,6 +64,12 @@ def available() -> bool:
     return _find_lib() is not None
 
 
+def decode_image(path: str, depth_scale: float = -1.0) -> np.ndarray:
+    """Native decode of PNG or JPEG by extension (the C runtime dispatches;
+    JPEG serves SfM photo feeds, 16-bit PNG the TUM depth stream)."""
+    return decode_png(path, depth_scale)
+
+
 def decode_png(path: str, depth_scale: float = -1.0) -> np.ndarray:
     """Decode a PNG via the native runtime.
 

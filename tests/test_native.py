@@ -82,3 +82,20 @@ class TestNativeTumLoader:
         rgb_py = io.imread(os.path.join(tum_dir, seq.pairs[0][1]))
         np.testing.assert_allclose(frames[0][1], rgb_py, atol=1e-6)
         loader.close()
+
+
+def test_native_jpeg_decode(tmp_path):
+    """JPEG path of the native decoder (SfM photo feed)."""
+    from opencv_contrib_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    arr = (rng.uniform(0, 255, (32, 48, 3))).astype(np.uint8)
+    p = str(tmp_path / "t.jpg")
+    Image.fromarray(arr).save(p, quality=95)
+    img = native.decode_image(p)
+    assert img.shape == (32, 48, 3) and img.dtype == np.float32
+    # lossy codec: match to within JPEG tolerance
+    assert np.abs(img * 255.0 - arr).mean() < 6.0
