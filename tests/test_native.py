@@ -91,11 +91,11 @@ def test_native_jpeg_decode(tmp_path):
         import pytest
         pytest.skip("native library not built")
     from PIL import Image
-    rng = np.random.default_rng(0)
-    arr = (rng.uniform(0, 255, (32, 48, 3))).astype(np.uint8)
+    yy, xx = np.meshgrid(np.arange(32), np.arange(48), indexing="ij")
+    arr = np.stack([yy * 8, xx * 5, (yy + xx) * 3], -1).astype(np.uint8)
     p = str(tmp_path / "t.jpg")
     Image.fromarray(arr).save(p, quality=95)
     img = native.decode_image(p)
     assert img.shape == (32, 48, 3) and img.dtype == np.float32
-    # lossy codec: match to within JPEG tolerance
-    assert np.abs(img * 255.0 - arr).mean() < 6.0
+    # lossy codec on a smooth image: small mean error
+    assert np.abs(img * 255.0 - arr).mean() < 4.0
