@@ -313,3 +313,81 @@ def load_ar_hmdb_splits(split_dir: str, split_id: int = 1):
                 te.append(parts[0])
         out[action] = {"train": tr, "test": te}
     return out
+
+
+# ---------------------------------------------------------------------------
+# IS_bsds (is_bsds.cpp: train/test id lists; images + GT live beside them)
+
+def load_is_bsds(root: str):
+    """BSDS segmentation splits: iids_train.txt / iids_test.txt of image
+    ids (is_bsds.cpp:84)."""
+    out = {}
+    for split, fn in (("train", "iids_train.txt"), ("test", "iids_test.txt")):
+        p = os.path.join(root, fn)
+        out[split] = ([ln.strip() for ln in open(p) if ln.strip()]
+                      if os.path.exists(p) else [])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TRACK_alov (track_alov.cpp: ann/<category>/<video>.ann rows
+# "frame ax ay bx by cx cy dx dy")
+
+class AlovAnnotation(NamedTuple):
+    frame: int
+    box: np.ndarray  # (4,) axis-aligned (x, y, w, h) from the 4 corners
+
+
+def load_track_alov(ann_dir: str):
+    """ALOV300++ annotations: {category/video: [AlovAnnotation, ...]}."""
+    out = {}
+    for cat in sorted(os.listdir(ann_dir)):
+        cdir = os.path.join(ann_dir, cat)
+        if not os.path.isdir(cdir):
+            continue
+        for fn in sorted(os.listdir(cdir)):
+            if not fn.endswith(".ann"):
+                continue
+            anns = []
+            for line in open(os.path.join(cdir, fn)):
+                vals = [float(v) for v in line.split()]
+                if len(vals) < 9:
+                    continue
+                xs, ys = vals[1::2], vals[2::2]
+                anns.append(AlovAnnotation(
+                    frame=int(vals[0]),
+                    box=np.asarray([min(xs), min(ys), max(xs) - min(xs),
+                                    max(ys) - min(ys)], np.float32)))
+            out[f"{cat}/{fn[:-4]}"] = anns
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GR_skig (gr_skig.cpp: attributes parsed from the video filenames)
+
+class SkigSample(NamedTuple):
+    path: str
+    person: int
+    background: int
+    illumination: int
+    pose: int
+    action: int
+
+
+def load_gr_skig(root: str):
+    """SKIG gesture videos: attributes encoded in names like
+    'person_1_backgroud_1_illumination_1_pose_1_actionType_1.avi'
+    (gr_skig.cpp:102-130; note the dataset's own 'backgroud' spelling)."""
+    import re
+
+    pat = re.compile(
+        r"person_(\d+)_backgrou?n?d_(\d+)_illumination_(\d+)_pose_(\d+)_actionType_(\d+)")
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for fn in sorted(files):
+            m = pat.search(fn)
+            if m:
+                out.append(SkigSample(
+                    os.path.join(dirpath, fn),
+                    *[int(m.group(i)) for i in range(1, 6)]))
+    return out

@@ -131,3 +131,32 @@ def test_ar_hmdb_splits(tmp_path):
     assert out["brush_hair"]["train"] == ["a.avi"]
     assert out["brush_hair"]["test"] == ["b.avi"]
     assert out["wave"]["train"] == ["d.avi"]
+
+
+def test_is_bsds(tmp_path):
+    (tmp_path / "iids_train.txt").write_text("100075\n100080\n")
+    (tmp_path / "iids_test.txt").write_text("100007\n")
+    out = ds.load_is_bsds(str(tmp_path))
+    assert out["train"] == ["100075", "100080"]
+    assert out["test"] == ["100007"]
+
+
+def test_track_alov(tmp_path):
+    c = tmp_path / "01-Light"
+    c.mkdir()
+    (c / "01-Light_video00001.ann").write_text(
+        "1 10 20 30 20 30 40 10 40\n8 12 22 32 22 32 42 12 42\n")
+    out = ds.load_track_alov(str(tmp_path))
+    anns = out["01-Light/01-Light_video00001"]
+    assert anns[0].frame == 1 and anns[1].frame == 8
+    np.testing.assert_allclose(anns[0].box, [10, 20, 20, 20])
+
+
+def test_gr_skig(tmp_path):
+    d = tmp_path / "subject1_rgb"
+    d.mkdir()
+    (d / "person_1_backgroud_2_illumination_1_pose_3_actionType_7.avi").write_bytes(b"")
+    out = ds.load_gr_skig(str(tmp_path))
+    assert len(out) == 1
+    s = out[0]
+    assert (s.person, s.background, s.illumination, s.pose, s.action) == (1, 2, 1, 3, 7)
