@@ -18,7 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# OCV_TPU_SCALE=1 runs tests/test_scale_tpu.py against the real chip —
+# everything else stays on the forced-CPU virtual mesh
+if not os.environ.get("OCV_TPU_SCALE"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402
