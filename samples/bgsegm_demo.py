@@ -30,7 +30,7 @@ def main():
         ious = []
         for i, (frame, gt) in enumerate(seqs):
             st, fg = apply_(st, jnp.asarray(frame))
-            if i >= 10:  # after warm-up
+            if i >= 18:  # after warm-up (sample-based models adapt slower)
                 f = np.asarray(fg) > 0.5
                 inter = (f & gt).sum()
                 union = (f | gt).sum()
