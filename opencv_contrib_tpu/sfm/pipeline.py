@@ -174,8 +174,62 @@ def initialize_two_view(
     return rec
 
 
+# above this many observations the dense (C, P) grid solver gives way to
+# the bucketed sparse solver (ba.sparse) — the ITERATIVE_SCHUR-at-scale
+# path; the dense grid's Jacobian buffers are O(C*P) regardless of fill
+SPARSE_BA_OBS_THRESHOLD = 100_000
+
+
+def _run_bundle_sparse(rec: Reconstruction, tracks: TracksTensor,
+                       mask: np.ndarray, n_iters: int):
+    """Route the fixpoint-loop bundle through ba.sparse (flat observation
+    list + camera buckets). Buckets are cached on the reconstruction and
+    reused while the sparsity pattern is unchanged — the repeated solves of
+    the intersect/resect fixpoint (pipeline.cc:186,226) then skip the
+    host-side argsort entirely."""
+    from opencv_contrib_tpu.ba import sparse as sba
+
+    c_idx, p_idx = np.nonzero(mask)
+    n = len(c_idx)
+    cap = max(4096, int(np.ceil(n / 4096)) * 4096)
+    obs_cam = np.zeros(cap, np.int32)
+    obs_pt = np.zeros(cap, np.int32)
+    obs_uv = np.zeros((2, cap), np.float32)
+    obs_ok = np.zeros(cap, bool)
+    obs_cam[:n] = c_idx
+    obs_pt[:n] = p_idx
+    obs_uv[:, :n] = tracks.obs[c_idx, p_idx].T
+    obs_ok[:n] = True
+
+    fingerprint = (cap, n, int(c_idx[0]) if n else 0,
+                   int(p_idx[-1]) if n else 0,
+                   hash(c_idx.tobytes()) ^ hash(p_idx.tobytes()))
+    cache = getattr(rec, "_sparse_ba_cache", None)
+    if cache is not None and cache[0] == fingerprint:
+        buckets = cache[1]
+    else:
+        buckets = sba.build_buckets(obs_cam, obs_pt, obs_ok,
+                                    mask.shape[0], mask.shape[1])
+        rec._sparse_ba_cache = (fingerprint, buckets)
+
+    prob = sba.make_sparse_problem(
+        rec.Rs, rec.ts, rec.points, rec.intr, obs_cam, obs_pt, obs_uv, obs_ok)
+    out = sba.bundle_adjust_sparse(
+        prob, n_iters=n_iters, fix_first_cam=True,
+        cam_free=jnp.asarray(rec.registered),
+        pt_free=jnp.asarray(rec.has_point),
+        n_cg=15, buckets=buckets)
+    Rm = np.asarray(se3.exp_so3(out.cameras[:, :3]))
+    rec.Rs = np.where(rec.registered[:, None, None], Rm, rec.Rs).astype(np.float32)
+    rec.ts = np.where(rec.registered[:, None], np.asarray(out.cameras[:, 3:]), rec.ts).astype(np.float32)
+    rec.points = np.where(rec.has_point[:, None], np.asarray(out.points), rec.points).astype(np.float32)
+
+
 def _run_bundle(rec: Reconstruction, tracks: TracksTensor, n_iters: int = 12, optimize_intr=False):
     mask = tracks.mask & rec.registered[:, None] & rec.has_point[None, :]
+    if not optimize_intr and int(mask.sum()) > SPARSE_BA_OBS_THRESHOLD:
+        _run_bundle_sparse(rec, tracks, mask, n_iters)
+        return
     prob = bundle.make_problem_from_scene(
         rec.Rs, rec.ts, rec.points, rec.intr, tracks.obs, mask
     )
