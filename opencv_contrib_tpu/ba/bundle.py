@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from opencv_contrib_tpu.core import camera as cam
 from opencv_contrib_tpu.core import se3
+from opencv_contrib_tpu.utils.precision import f32_matmuls
 
 
 class BAProblem(NamedTuple):
@@ -262,6 +263,7 @@ def _solve_schur_pcg(r, Jc, Jp, lam, cam_free, pt_free, n_cg: int = 30):
     return dcam, dpt, jnp.zeros(9, r.dtype)
 
 
+@f32_matmuls
 @partial(jax.jit, static_argnames=("n_iters", "optimize_intr", "fix_first_cam", "solver", "n_cg"))
 def bundle_adjust(
     problem: BAProblem,

@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from opencv_contrib_tpu.core import se3
+from opencv_contrib_tpu.utils.precision import f32_matmuls
 
 
 class SparseBAProblem(NamedTuple):
@@ -401,6 +402,7 @@ def bundle_adjust_sparse(
                                      lam0, n_cg)
 
 
+@f32_matmuls
 @partial(jax.jit, static_argnames=("n_iters", "fix_first_cam", "n_cg"))
 def _bundle_adjust_sparse_jit(
     problem: SparseBAProblem,

@@ -28,6 +28,7 @@ from opencv_contrib_tpu.core import camera as cam
 from opencv_contrib_tpu.core import se3
 from opencv_contrib_tpu.mvg import fundamental, homography, resection, robust, triangulation
 from opencv_contrib_tpu.sfm.tracks import TracksTensor
+from opencv_contrib_tpu.utils.precision import f32_matmuls
 from opencv_contrib_tpu.utils.tracing import trace_span
 
 
@@ -253,6 +254,7 @@ def _undistort_normalize(intr, px):
     return cam.undistort(intr, cam.normalize_points(intr, px))
 
 
+@f32_matmuls
 @partial(jax.jit, static_argnames=("iters",))
 def _intersect_batch(obs, cand_mask, Rs, ts, intr, max_err_px, iters=5):
     """Device program for _intersect_new_tracks: triangulate ALL tracks over
