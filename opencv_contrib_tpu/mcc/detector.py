@@ -33,52 +33,168 @@ def find_chart_cells(img_gray, min_area: int = 30, max_components: int = 256):
     y1, x1 = np.asarray(st["y1"]), np.asarray(st["x1"])
     h, w = y1 - y0 + 1, x1 - x0 + 1
     fill = area / np.maximum(h * w, 1)
-    keep = np.asarray(st["valid"]) & (area >= min_area) & (fill > 0.7) & (
-        np.maximum(h / np.maximum(w, 1), w / np.maximum(h, 1)) < 2.0)
+    # a square rotated 45 deg fills only half its bounding box: keep the
+    # fill gate permissive so rotated charts still yield candidates
+    keep = np.asarray(st["valid"]) & (area >= min_area) & (fill > 0.4) & (
+        np.maximum(h / np.maximum(w, 1), w / np.maximum(h, 1)) < 2.5)
     y0, x0, y1, x1 = y0[keep], x0[keep], y1[keep], x1[keep]  # drop inf rows first
     centers = np.stack([(y0 + y1) / 2, (x0 + x1) / 2], 1)
     boxes = np.stack([y0, x0, y1, x1], 1)
     return centers, boxes
 
 
-def detect_chart(img_rgb, min_cells: int = 18):
-    """Detect a 4x6 ColorChecker. Returns (patch_colors (24, 3) row-major or
-    None, cell_centers). Grid assembly: cluster cell centers into 4 rows x
-    6 cols by sorted coordinates (checker_detector.cpp's graph-based
-    assembly reduced to the axis-aligned case)."""
+def _fit_homography_np(src, dst):
+    """DLT homography src (N, 2) -> dst (N, 2), N >= 4 (host numpy; the
+    assembly is small geometry like the reference's)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    n = src.shape[0]
+    A = np.zeros((2 * n, 9))
+    x, y = src[:, 0], src[:, 1]
+    u, v = dst[:, 0], dst[:, 1]
+    A[0::2, 0] = x
+    A[0::2, 1] = y
+    A[0::2, 2] = 1
+    A[0::2, 6] = -u * x
+    A[0::2, 7] = -u * y
+    A[0::2, 8] = -u
+    A[1::2, 3] = x
+    A[1::2, 4] = y
+    A[1::2, 5] = 1
+    A[1::2, 6] = -v * x
+    A[1::2, 7] = -v * y
+    A[1::2, 8] = -v
+    _, _, Vt = np.linalg.svd(A)
+    H = Vt[-1].reshape(3, 3)
+    return H / (H[2, 2] if abs(H[2, 2]) > 1e-12 else 1.0)
+
+
+def _apply_h(H, pts):
+    p = np.concatenate([pts, np.ones((len(pts), 1))], axis=1) @ H.T
+    w = np.where(np.abs(p[:, 2:]) < 1e-12, 1e-12, p[:, 2:])
+    return p[:, :2] / w
+
+
+def _assemble_lattice(centers, min_cells: int, rng):
+    """Homography-consistent 4x6 grid assembly over candidate cell centers
+    (the contour-quad graph assembly of checker_detector.cpp, re-posed as
+    lattice RANSAC): seed a local basis from a cell and two near
+    neighbors, integer-snap all centers, refine with a DLT homography,
+    and accept the best window whose integer extent is 4x6 (either
+    orientation) with >= min_cells member cells."""
+    N = centers.shape[0]
+    if N < min_cells:
+        return None
+    best = None
+    d2 = ((centers[:, None] - centers[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    for seed in rng.permutation(N)[: min(N, 12)]:
+        nb = np.argsort(d2[seed])[:6]
+        for a in range(len(nb)):
+            for b in range(a + 1, len(nb)):
+                v1 = centers[nb[a]] - centers[seed]
+                v2 = centers[nb[b]] - centers[seed]
+                B = np.stack([v1, v2], axis=1)  # basis columns
+                det = np.linalg.det(B)
+                if abs(det) < 1e-6:
+                    continue
+                cos = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+                if cos > 0.5:  # need near-orthogonal lattice directions
+                    continue
+                ij = np.linalg.solve(B, (centers - centers[seed]).T).T
+                ij_r = np.round(ij)
+                res = np.abs(ij - ij_r).max(axis=1)
+                inl = res < 0.25
+                if inl.sum() < min_cells:
+                    continue
+                # homography refinement: lattice ij -> image xy, resnap
+                for _ in range(3):
+                    H = _fit_homography_np(ij_r[inl], centers[inl])
+                    Hi = np.linalg.inv(H)
+                    ij2 = _apply_h(Hi, centers)
+                    ij_r = np.round(ij2)
+                    res = np.abs(ij2 - ij_r).max(axis=1)
+                    inl = res < 0.3
+                    if inl.sum() < min_cells:
+                        break
+                if inl.sum() < min_cells:
+                    continue
+                ii = ij_r[inl].astype(int)
+                i0, j0 = ii.min(axis=0)
+                ext = ii.max(axis=0) - ii.min(axis=0)
+                # a 4x6 chart has integer extent (3,5) in some orientation
+                if not ((ext[0] == 3 and ext[1] == 5)
+                        or (ext[0] == 5 and ext[1] == 3)):
+                    continue
+                # unique cell occupancy (no two centers on one node)
+                occ = {tuple(p) for p in ii}
+                score = len(occ)
+                if best is None or score > best[0]:
+                    best = (score, H, (i0, j0), ext[0] == 5)
+        if best is not None and best[0] >= 22:
+            break
+    return best
+
+
+def _sample_cells(img, H, nodes):
+    """Mean color per lattice node, sampled through the homography on a
+    5x5 sub-cell offset pattern (missing/undetected cells still sample —
+    the lattice knows where they are)."""
+    Hh, Ww = img.shape[:2]
+    offs = np.stack(np.meshgrid(np.linspace(-0.22, 0.22, 5),
+                                np.linspace(-0.22, 0.22, 5)), -1).reshape(-1, 2)
+    colors = np.zeros((len(nodes), 3), np.float32)
+    for k, (i, j) in enumerate(nodes):
+        pts = _apply_h(H, np.asarray([(i, j)], np.float64) + offs)
+        # lattice -> centers space, and centers are (y, x) image coords
+        yi = np.clip(np.round(pts[:, 0]).astype(int), 0, Hh - 1)
+        xi = np.clip(np.round(pts[:, 1]).astype(int), 0, Ww - 1)
+        colors[k] = img[yi, xi].mean(axis=0)
+    return colors
+
+
+def detect_chart(img_rgb, min_cells: int = 16, seed: int = 0):
+    """Detect a 4x6 ColorChecker under rotation/perspective. Returns
+    (patch_colors (24, 3) row-major or None, cell_centers).
+
+    Pipeline (CCheckerDetector::process role, checker_detector.cpp):
+    candidate cells -> homography-consistent lattice RANSAC (tolerates
+    missing cells: >= min_cells of 24 suffice; missing cells are sampled
+    through the fitted homography) -> orientation disambiguation by
+    correlation against the Macbeth reference colors."""
     img = np.asarray(img_rgb, np.float32)
     gray = img.mean(-1)
     centers, boxes = find_chart_cells(gray)
-    if centers.shape[0] < min_cells:
+    fit = _assemble_lattice(centers, min_cells, np.random.default_rng(seed))
+    if fit is None:
         return None, centers
-    # median cell pitch
-    ys = np.sort(np.unique(np.round(centers[:, 0]).astype(int)))
-    # cluster rows: split where the gap is > half the median gap
-    order = np.argsort(centers[:, 0])
-    cy = centers[order, 0]
-    gaps = np.diff(cy)
-    big = gaps > max(np.median(gaps) * 3, 4)
-    row_id = np.concatenate([[0], np.cumsum(big)])
-    rows = {}
-    for idx, r in zip(order, row_id):
-        rows.setdefault(r, []).append(idx)
-    if len(rows) != 4:
-        return None, centers
-    grid = []
-    for r in sorted(rows, key=lambda r: centers[rows[r], 0].mean()):
-        members = rows[r]
-        if len(members) != 6:
-            return None, centers
-        members = sorted(members, key=lambda i: centers[i, 1])
-        grid.append(members)
-    # sample mean color inside each cell
-    colors = []
-    for row in grid:
-        for i in row:
-            b = boxes[i].astype(int)
-            cell = img[b[0] + 2 : b[2] - 1, b[1] + 2 : b[3] - 1]
-            colors.append(cell.reshape(-1, 3).mean(0))
-    return np.asarray(colors, np.float32), centers
+    _, H, (i0, j0), transposed = fit
+
+    # enumerate the 24 nodes in (row, col) chart order for each of the
+    # 4 orientation hypotheses; pick by correlation with the reference
+    ref = np.asarray(MACBETH_SRGB, np.float32)
+    best_colors, best_corr = None, -np.inf
+    for flip in range(4):
+        nodes = []
+        for r in range(4):
+            for c in range(6):
+                rr = 3 - r if flip & 1 else r
+                cc = 5 - c if flip & 1 else c  # 180-degree rotation
+                if flip & 2:
+                    rr, cc = 3 - rr, cc  # mirror (non-physical, but
+                    # disambiguates charts seen through reflections)
+                if transposed:
+                    nodes.append((i0 + cc, j0 + rr))
+                else:
+                    nodes.append((i0 + rr, j0 + cc))
+        cols = _sample_cells(img, H, nodes)
+        a = cols - cols.mean(0)
+        b = ref - ref.mean(0)
+        corr = float((a * b).sum() /
+                     max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9))
+        if corr > best_corr:
+            best_corr, best_colors = corr, cols
+    return best_colors, centers
 
 
 def detect_and_fit_ccm(img_rgb):
