@@ -35,6 +35,8 @@ class FreeType2:
         self._atlas: Dict[int, np.ndarray] = {
             cp: self._expand(rows) for cp, rows in FONT_8X8.items()}
         self._gh, self._gw = _GLYPH_H, _GLYPH_W
+        self._ttf = None
+        self._ttf_cache: Dict[tuple, tuple] = {}
 
     @staticmethod
     def _expand(rows) -> np.ndarray:
@@ -46,17 +48,58 @@ class FreeType2:
         return g
 
     def load_font_data(self, path: str, id: int = 0):
-        """Load a custom glyph atlas from .npz (keys = str(codepoint))."""
+        """Load a real TrueType font (.ttf/.otf — parsed + rasterized by
+        freetype.ttf, the FreeType2::loadFontData contract,
+        freetype/src/freetype.cpp) or a .npz glyph atlas
+        (keys = str(codepoint))."""
+        if path.lower().endswith((".ttf", ".otf")):
+            from opencv_contrib_tpu.freetype.ttf import TtfFont
+
+            self._ttf = TtfFont(path)
+            self._ttf_cache = {}
+            return
         data = np.load(path)
         atlas = {int(k): np.asarray(v, np.float32) for k, v in data.items()}
         if atlas:
             self._atlas = atlas
             self._gh, self._gw = next(iter(atlas.values())).shape
 
+    # -- TTF path (real outlines, per-glyph metrics, kerning) ---------------
+
+    def _ttf_glyph(self, cp: int, px: int):
+        key = (cp, px)
+        if key not in self._ttf_cache:
+            self._ttf_cache[key] = self._ttf.rasterize(cp, px)
+        return self._ttf_cache[key]
+
+    def _ttf_layout(self, text: str, font_height: int):
+        """Pen positions + glyph bitmaps along the baseline, with kern
+        adjustments. Returns (entries, width, ascent_px, descent_px)."""
+        f = self._ttf
+        scale = font_height / f.units_per_em
+        asc = f.ascent * scale
+        desc = -f.descent * scale
+        pen = 0.0
+        entries = []
+        prev = None
+        for ch in text:
+            cp = ord(ch)
+            if prev is not None:
+                pen += f.kerning(prev, cp, font_height)
+            bm, adv, bx, by = self._ttf_glyph(cp, font_height)
+            entries.append((bm, pen + bx, by))
+            pen += adv
+            prev = cp
+        return entries, pen, asc, desc
+
     def get_text_size(self, text: str, font_height: int,
                       thickness: int = 1) -> Tuple[int, int]:
         """Pixel (width, height) of the rendered string
         (freetype.hpp getTextSize)."""
+        pad = 2 * max(0, thickness - 1)
+        if self._ttf is not None:
+            _, width, asc, desc = self._ttf_layout(text, max(1, font_height))
+            return int(np.ceil(width)) + pad, int(np.ceil(asc + desc)) + pad
         scale = max(1, font_height) / self._gh
         w = int(np.ceil(len(text) * self._gw * scale)) + 2 * max(0, thickness - 1)
         h = int(np.ceil(self._gh * scale)) + 2 * max(0, thickness - 1)
@@ -67,6 +110,11 @@ class FreeType2:
         """Rasterize `text` to a float32 coverage mask in [0,1]."""
         if not text:
             return np.zeros((max(1, font_height), 1), np.float32)
+        if self._ttf is not None:
+            strip = self._render_ttf(text, max(1, font_height))
+            if thickness > 1:
+                strip = self._embolden(strip, thickness - 1)
+            return strip
         gh, gw = self._gh, self._gw
         strip = np.concatenate(
             [self._atlas.get(ord(c), self._atlas[0x3F]) for c in text], axis=1)
@@ -80,17 +128,40 @@ class FreeType2:
                             )[:, :, 0], np.float32)
             strip = np.clip(strip, 0.0, 1.0)
         if thickness > 1:
-            # emboldening = max-dilation of the coverage mask
-            r = thickness - 1
-            padded = np.pad(strip, r)
-            out = np.zeros_like(padded)
-            for dy in range(-r, r + 1):
-                for dx in range(-r, r + 1):
-                    if dy * dy + dx * dx <= r * r + 1:
-                        out = np.maximum(out, np.roll(np.roll(padded, dy, 0),
-                                                      dx, 1))
-            strip = out
+            strip = self._embolden(strip, thickness - 1)
         return strip
+
+    @staticmethod
+    def _embolden(strip: np.ndarray, r: int) -> np.ndarray:
+        """Emboldening = max-dilation of the coverage mask."""
+        padded = np.pad(strip, r)
+        out = np.zeros_like(padded)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if dy * dy + dx * dx <= r * r + 1:
+                    out = np.maximum(out, np.roll(np.roll(padded, dy, 0),
+                                                  dx, 1))
+        return out
+
+    def _render_ttf(self, text: str, font_height: int) -> np.ndarray:
+        """Compose per-glyph bitmaps along the baseline (advance widths +
+        kern pairs from the font tables)."""
+        entries, width, asc, desc = self._ttf_layout(text, font_height)
+        H = int(np.ceil(asc + desc)) + 2
+        W = int(np.ceil(width)) + 2
+        canvas = np.zeros((H, W), np.float32)
+        baseline = asc
+        for bm, x, by in entries:
+            h, w = bm.shape
+            y0 = int(round(baseline - by))
+            x0 = int(round(x))
+            ya, xa = max(0, y0), max(0, x0)
+            yb, xb = min(H, y0 + h), min(W, x0 + w)
+            if yb <= ya or xb <= xa:
+                continue
+            sub = bm[ya - y0:yb - y0, xa - x0:xb - x0]
+            canvas[ya:yb, xa:xb] = np.maximum(canvas[ya:yb, xa:xb], sub)
+        return canvas
 
     def put_text(self, img, text: str, org: Tuple[int, int], font_height: int,
                  color, thickness: int = 1, bottom_left_origin: bool = False):
