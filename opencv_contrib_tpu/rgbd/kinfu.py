@@ -70,10 +70,21 @@ class KinFuParams:
 
 def _raycast_pyramid(volume, intr, T_cw, shape, levels, depth_max, n_coarse=None):
     import numpy as _np
-    big = int(_np.prod(volume.tsdf.shape)) > 256 ** 3
-    pts, nrm, valid = tsdf_mod.raycast(volume, intr, T_cw, shape=shape,
-                                       depth_max=depth_max, n_coarse=n_coarse,
-                                       n_fine=8 if big else 12)
+    dims = volume.tsdf.shape
+    big = int(_np.prod(dims)) > 256 ** 3
+    if big and all(d % 8 == 0 for d in dims):
+        # splatting raycast (tsdf.raycast_splat): the volume proposes
+        # per-pixel brackets via a scatter-min z-buffer over surface
+        # blocks instead of marching every ray through the whole depth
+        # range — the formulation that removes the VGA/512^3 coarse-march
+        # bottleneck (PERF.md roofline note)
+        pts, nrm, valid = tsdf_mod.raycast_splat(
+            volume, intr, T_cw, shape=shape, depth_max=depth_max,
+            n_fine=10, stamp=8)
+    else:
+        pts, nrm, valid = tsdf_mod.raycast(volume, intr, T_cw, shape=shape,
+                                           depth_max=depth_max,
+                                           n_coarse=n_coarse, n_fine=12)
     frames = []
     p_l, n_l, v_l = pts, nrm, valid
     depth_l = p_l[..., 2]

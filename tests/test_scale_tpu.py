@@ -38,7 +38,7 @@ def test_kinfu_vga_512_tracks(tpu):
     intr = np.asarray(cam.make_intrinsics(525.0, 525.0, W / 2, H / 2))
     p = kf.KinFuParams(intr=intr, frame_shape=(H, W),
                        volume_resolution=(512,) * 3, volume_size=3.0,
-                       sparse_blocks=16384)
+                       sparse_blocks=12288)
     k = kf.KinFu(p)
     base = (2.0 + 0.3 * np.sin(np.linspace(0, 6, W))[None, :]
             + 0.2 * np.cos(np.linspace(0, 4, H))[:, None]).astype(np.float32)
