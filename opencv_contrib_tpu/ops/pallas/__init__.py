@@ -6,5 +6,6 @@ pattern, SURVEY §4 pattern 4).
 """
 
 from opencv_contrib_tpu.ops.pallas import matching
+from opencv_contrib_tpu.ops.pallas.remap import remap_bounded, remap_bounded_xla
 
-__all__ = ["matching"]
+__all__ = ["matching", "remap_bounded", "remap_bounded_xla"]
