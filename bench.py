@@ -126,6 +126,30 @@ def bench_keyframes(n_frames=32, H=480, W=640, K=512):
     return keyframes_per_s, ba_iters_per_s
 
 
+def bench_kinfu_vga512():
+    """Reference-defaultParams KinFu tick (512^3 volume, VGA frames,
+    splat raycast + splat-allocated sparse integrate) — ms per tick."""
+    from opencv_contrib_tpu.core import camera as cam
+    from opencv_contrib_tpu.rgbd import kinfu as kf
+
+    H, W = 480, 640
+    intr = np.asarray(cam.make_intrinsics(525.0, 525.0, W / 2, H / 2))
+    p = kf.KinFuParams(intr=intr, frame_shape=(H, W),
+                       volume_resolution=(512,) * 3, volume_size=3.0,
+                       sparse_blocks=12288)
+    k = kf.KinFu(p)
+    base = (2.0 + 0.3 * np.sin(np.linspace(0, 6, W))[None, :]
+            + 0.2 * np.cos(np.linspace(0, 4, H))[:, None]).astype(np.float32)
+    k.update(base, sync=True)
+    k.update(base + 0.002, sync=True)
+    t0 = time.perf_counter()
+    n = 5
+    for i in range(n):
+        k.update(base + 0.002 * (i + 2), sync=False)
+    jax.block_until_ready(k.volume.tsdf)
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
 def main():
     from opencv_contrib_tpu.ops.pallas import matching as pm
     from opencv_contrib_tpu.features import match as xm
@@ -149,6 +173,7 @@ def main():
         jax.profiler.stop_trace()
 
     keyframes_per_s, ba_iters_per_s = bench_keyframes()
+    kinfu_ms = bench_kinfu_vga512()
 
     pairs_per_s = n_query * n_train / t_pallas
     print(
@@ -161,6 +186,7 @@ def main():
                 "extra": {
                     "keyframes_per_s_vga_512kp": round(keyframes_per_s, 2),
                     "ba_iters_per_s_16x2048": round(ba_iters_per_s, 2),
+                    "kinfu_vga_512_tick_ms": round(kinfu_ms, 1),
                 },
             }
         )
