@@ -70,3 +70,18 @@ def test_sparse_ba_two_million_obs(tpu):
         jnp.asarray(obs_cam), jnp.asarray(obs_pt), uv, jnp.ones(N, bool))
     res = sparse.bundle_adjust_sparse(prob, n_iters=3, n_cg=10)
     assert float(res.final_cost) < float(res.initial_cost) * 1e-2
+
+
+def test_sfm_scale_256_end_to_end(tpu):
+    """The 5k-image pipeline at a 256-view TPU-test size: full chunked
+    driver + windowed/growth/global BA, reference 1.4 px gate."""
+    from opencv_contrib_tpu.sfm import pipeline_scale as ps
+    from opencv_contrib_tpu.utils.synthetic import generate_sequence_scene
+
+    sc = generate_sequence_scene(n_views=256, slots_per_view=1024,
+                                 track_span=24, seed=0, noise_px=0.3)
+    tr = ps.from_sequence_scene(sc)
+    rec = ps.reconstruct_sequential(tr, sc.intr, window=24, ba_every=4,
+                                    min_gap=3, final_global_iters=15)
+    assert rec.registered.sum() >= 250
+    assert rec.reprojection_mean_px(tr) < 1.4
